@@ -1,0 +1,328 @@
+"""Barotropic solver: RHS kernels + SSPRK sub-cycling with running averages.
+
+Reference: src/mod_rhs_btp.F90 (create_rhs_btp, create_rhs_btp_volume_qdf,
+creat_btp_fluxes_qdf), src/mod_rk_mlswe.F90 (ti_barotropic_ssprk_mlswe),
+src/mod_barotropic_terms.F90 (btp_extract_df, btp_mom_boundary_df).
+
+This is the innermost hot loop (N_btp * kstages evaluations per dt). The
+volume kernel is batched einsums over all elements; the face kernels are
+slices + small matmuls; the sub-cycling is a lax.scan over barotropic steps
+with the 23 running-average accumulators carried as a BtpAverages pytree
+(reference zeroes/accumulates/normalizes them imperatively,
+src/mod_rk_mlswe.F90:45-149).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.dg import DeviceGeom, grad_nodal, interp_n2q, scatter_volume, scatter_volume_nodal
+from .faces import (BCs, apply_wall_projection, extract_faces, face_n2q,
+                    face_quad_scatter, scatter_face_x, scatter_face_y)
+from .types import BtpAverages, BtpFaceAvg, CouplingFields, Pair, Precomputed
+
+
+def zero_btp_averages(static, g: DeviceGeom, dtype) -> BtpAverages:
+    ney, nex = g.wjac.shape[0], g.wjac.shape[1]
+    nq, ngl = g.wjac.shape[-1], g.wjac_df.shape[-1]
+    zq = jnp.zeros((ney, nex, nq, nq), dtype)
+    zn = jnp.zeros((ney, nex, ngl, ngl), dtype)
+
+    def zface(shape_f):
+        zf = jnp.zeros(shape_f + (nq,), dtype)
+        zfd = jnp.zeros((4,) + shape_f + (ngl,), dtype)
+        return BtpFaceAvg(H=zf, QuU=zf, QuV=zf, QvU=zf, QvV=zf,
+                          opeL=zf, opeR=zf, ope2L=zf, ope2R=zf,
+                          fluxU=zf, fluxV=zf, opee2=zf,
+                          ubL=zf, ubR=zf, vbL=zf, vbR=zf, gvL=zfd, gvR=zfd)
+
+    return BtpAverages(
+        H=zq, Qu=zq, Qv=zq, Quv=zq, ope=zq, ope2=zq, ub=zq, vb=zq,
+        mfU=zq, mfV=zq, tbU=zq, tbV=zq,
+        ope2_df=zn, ub_df=zn, vb_df=zn,
+        graduvb=jnp.zeros((4, ney, nex, ngl, ngl), dtype),
+        faces=Pair(x=zface((ney, nex + 1)), y=zface((ney + 1, nex))),
+    )
+
+
+def btp_extract_df(bc: BCs, qb_df):
+    """Nodal face traces of the 4 barotropic variables with BC mirrors.
+
+    Reference btp_extract_df (src/mod_barotropic_terms.F90:25-97): pb and
+    pbpert copy across walls; (pbub, pbvb) get the free-slip/no-slip mirror.
+    Returns a list of 4 FaceLR.
+    """
+    f_pb, _ = extract_faces(qb_df[0], bc)
+    f_pp, _ = extract_faces(qb_df[1], bc)
+    f_pu, f_pv = extract_faces(qb_df[2], bc, v=qb_df[3])
+    return [f_pb, f_pp, f_pu, f_pv]
+
+
+def btp_volume_rhs(static, P: Precomputed, g: DeviceGeom, coup: CouplingFields,
+                   qb_df, qprime_df):
+    """Fused barotropic volume kernel + volume average increments.
+
+    Reference create_rhs_btp_volume_qdf (src/mod_rhs_btp.F90:102-209).
+    Returns (rhs (3, nodal) without massinv, dict of average increments).
+    """
+    grav = static.gravity
+    qbq = interp_n2q(g, qb_df)                     # (4, quad)
+    dp, dpp, udp, vdp = qbq[0], qbq[1], qbq[2], qbq[3]
+    # bottom-layer primes
+    qpl = interp_n2q(g, qprime_df[:, -1])          # (3, quad)
+    pp, up, vp = qpl[0], qpl[1], qpl[2]
+
+    ub = udp / dp
+    vb = vdp / dp
+
+    if static.botfr == 1:      # linear bottom drag (reference :157-162)
+        spd = (static.cd_mlswe / grav) * pp
+        tb_u = spd * (up + ub)
+        tb_v = spd * (vp + vb)
+    elif static.botfr == 2:    # quadratic (reference :163-169)
+        ubot, vbot = up + ub, vp + vb
+        spd = (static.cd_mlswe / static.alpha_bot) * jnp.sqrt(ubot**2 + vbot**2)
+        tb_u = spd * ubot
+        tb_v = spd * vbot
+    else:
+        tb_u = jnp.zeros_like(dp)
+        tb_v = jnp.zeros_like(dp)
+
+    f = P.coriolis_quad
+    sc_x = f * vdp + grav * (P.tau_wind[0] - tb_u) - grav * dp * P.grad_zbot_quad[0]
+    sc_y = -f * udp + grav * (P.tau_wind[1] - tb_v) - grav * dp * P.grad_zbot_quad[1]
+
+    ope = 1.0 + dpp * P.one_over_pbprime
+    Hq = ope**2 * coup.H_bcl
+    qu = ub * udp + ope * coup.Q_uu_dp
+    quv = ub * vdp + ope * coup.Q_uv_dp
+    qv = vb * vdp + ope * coup.Q_vv_dp
+
+    rhs1 = scatter_volume(g, Fx=udp, Fy=vdp)
+    rhs2 = scatter_volume(g, Fx=Hq + qu, Fy=quv, Fs=sc_x)
+    rhs3 = scatter_volume(g, Fx=quv, Fy=Hq + qv, Fs=sc_y)
+    rhs = jnp.stack([rhs1, rhs2, rhs3])
+
+    avg_inc = dict(H=Hq, Qu=qu, Qv=qv, Quv=quv, tbU=tb_u, tbV=tb_v,
+                   ope=ope, ope2=ope**2, mfU=udp, mfV=vdp, ub=ub, vb=vb)
+    return rhs, avg_inc
+
+
+def _face_flux_dir(static, fg, Qe_uu, Qe_uv, Qe_vv, He, traces, psiq):
+    """Barotropic face flux kernel for one face direction.
+
+    Reference creat_btp_fluxes_qdf (src/mod_rhs_btp.F90:211-364).
+    traces: list of 4 (L, R) nodal trace pairs. Returns (S_left scatter values
+    (3, F, ngl), BtpFaceAvg increments without the graduvb slots).
+    """
+    qblq = [face_n2q(psiq, t[0]) for t in traces]   # (F, nq) each
+    qbrq = [face_n2q(psiq, t[1]) for t in traces]
+    nx, ny = fg.nx, fg.ny
+
+    pU_L = nx * qblq[2] + ny * qblq[3]
+    pU_R = -(nx * qbrq[2] + ny * qbrq[3])
+    pbpert_edge = (fg.coeff_pbpert_L * qblq[1] + fg.coeff_pbpert_R * qbrq[1]
+                   + fg.coeff_pbub_LR * (pU_L + pU_R))
+    ope_edge = 1.0 + pbpert_edge * fg.one_over_pbprime_edge
+
+    flux_edge_x = (fg.coeff_mass_pbub_L * qblq[2] + fg.coeff_mass_pbub_R * qbrq[2]
+                   + fg.coeff_mass_pbpert_LR * nx * (qblq[1] - qbrq[1]))
+    flux_edge_y = (fg.coeff_mass_pbub_L * qblq[3] + fg.coeff_mass_pbub_R * qbrq[3]
+                   + fg.coeff_mass_pbpert_LR * ny * (qblq[1] - qbrq[1]))
+
+    ul, ur = qblq[2] / qblq[0], qbrq[2] / qbrq[0]
+    vl, vr = qblq[3] / qblq[0], qbrq[3] / qbrq[0]
+
+    quu = 0.5 * (ul * qblq[2] + ur * qbrq[2]) + ope_edge * Qe_uu
+    quv = 0.5 * (vl * qblq[2] + vr * qbrq[2]) + ope_edge * Qe_uv
+    qvu = 0.5 * (ul * qblq[3] + ur * qbrq[3]) + ope_edge * Qe_uv
+    qvv = 0.5 * (vl * qblq[3] + vr * qbrq[3]) + ope_edge * Qe_vv
+    H_face = ope_edge**2 * He
+
+    # one-sided reference pb' interpolated from nodal face values (:257-258)
+    pbl = face_n2q(psiq, fg.pbprime_df_face_L)
+    pbr = face_n2q(psiq, fg.pbprime_df_face_R)
+
+    lamb = fg.coeff_mass_pbpert_LR
+    dispu = 0.5 * lamb * (qbrq[2] - qblq[2])
+    dispv = 0.5 * lamb * (qbrq[3] - qblq[3])
+    flux_x = nx * quu + ny * quv - dispu
+    flux_y = nx * qvu + ny * qvv - dispv
+    flux = nx * flux_edge_x + ny * flux_edge_y
+    H_kx, H_ky = nx * H_face, ny * H_face
+
+    S1 = face_quad_scatter(psiq, fg.jac, flux)
+    S2 = face_quad_scatter(psiq, fg.jac, H_kx + flux_x)
+    S3 = face_quad_scatter(psiq, fg.jac, H_ky + flux_y)
+    S = jnp.stack([S1, S2, S3])
+
+    inc = dict(H=H_face, QuU=quu, QuV=quv, QvU=qvu, QvV=qvv,
+               opeL=1.0 + qblq[1] / pbl, opeR=1.0 + qbrq[1] / pbr,
+               ope2L=(1.0 + qblq[1] / pbl) ** 2, ope2R=(1.0 + qbrq[1] / pbr) ** 2,
+               fluxU=flux_edge_x, fluxV=flux_edge_y, opee2=ope_edge**2,
+               ubL=ul, ubR=ur, vbL=vl, vbR=vr)
+    return S, inc
+
+
+def btp_nodal_laplacian(static, P: Precomputed, g: DeviceGeom, bc: BCs,
+                        coup: CouplingFields, qb_df):
+    """Nodal-family LDG barotropic viscosity (method_visc != 1).
+
+    Reference btp_create_laplacian (src/mod_laplacian_quad.F90:32-121).
+    Returns (rhs_lap (2, nodal), graduv (4, nodal), graduv_face Pair of
+    (4, 2, F, ngl)) — the latter two feed the graduvb averages.
+    """
+    Uk_u = qb_df[2] / qb_df[0]
+    Uk_v = qb_df[3] / qb_df[0]
+    gux, guy = grad_nodal(g, Uk_u)
+    gvx, gvy = grad_nodal(g, Uk_v)
+    graduv = jnp.stack([gux, guy, gvx, gvy])
+
+    f12u, f12v = extract_faces(graduv[0], bc, v=graduv[1])
+    f34u, f34v = extract_faces(graduv[2], bc, v=graduv[3])
+    gface_x = jnp.stack([jnp.stack([f.xl for f in (f12u, f12v, f34u, f34v)]),
+                         jnp.stack([f.xr for f in (f12u, f12v, f34u, f34v)])], axis=1)
+    gface_y = jnp.stack([jnp.stack([f.yl for f in (f12u, f12v, f34u, f34v)]),
+                         jnp.stack([f.yr for f in (f12u, f12v, f34u, f34v)])], axis=1)
+
+    # volume (reference btp_compute_laplacian :357-390): note the MINUS sign
+    qq = coup.pbprime_visc[None] * graduv + coup.btp_dpp_graduv
+    lap_u = -scatter_volume_nodal(g, qq[0], qq[1])
+    lap_v = -scatter_volume_nodal(g, qq[2], qq[3])
+
+    # face flux (reference create_rhs_laplacian_flux :427-519): nodal-resolution
+    # faces, psi = identity, flip-flop central flux; L gets +, R gets -
+    def face_dir(gface, bgf, nx_df, ny_df, jac_df):
+        # gface: (4, 2, F, ngl); bgf: (5, 2, F, ngl)
+        fl = bgf[4, 0] * gface[:, 0] + bgf[:4, 0]   # (4, F, ngl)
+        fr = bgf[4, 1] * gface[:, 1] + bgf[:4, 1]
+        qmean = 0.5 * (fl + fr)
+        flux_qu = (qmean[0] - fl[0] * nx_df) + (qmean[1] - fl[1] * ny_df)
+        flux_qv = (qmean[2] - fl[2] * nx_df) + (qmean[3] - fl[3] * ny_df)
+        return jac_df * flux_qu, jac_df * flux_qv
+
+    fgx, fgy = P.faces.x, P.faces.y
+    SxU, SxV = face_dir(gface_x, coup.btp_graduv_dpp_face.x, fgx.nx_df, fgx.ny_df, fgx.jac_df)
+    SyU, SyV = face_dir(gface_y, coup.btp_graduv_dpp_face.y, fgy.nx_df, fgy.ny_df, fgy.jac_df)
+
+    lap_u = scatter_face_x(lap_u, -SxU, bc.x_periodic)
+    lap_u = scatter_face_y(lap_u, -SyU, bc.y_periodic)
+    lap_v = scatter_face_x(lap_v, -SxV, bc.x_periodic)
+    lap_v = scatter_face_y(lap_v, -SyV, bc.y_periodic)
+
+    rhs_lap = static.visc_mlswe * g.massinv * jnp.stack([lap_u, lap_v])
+    return rhs_lap, graduv, Pair(gface_x, gface_y)
+
+
+def create_rhs_btp(static, P: Precomputed, g: DeviceGeom, bc: BCs,
+                   coup: CouplingFields, qb_df, qprime_df):
+    """One barotropic RHS evaluation (reference create_rhs_btp,
+    src/mod_rhs_btp.F90:28-59). Returns (rhs (3, nodal), average increments).
+    """
+    traces = btp_extract_df(bc, qb_df)
+
+    rhs, vol_inc = btp_volume_rhs(static, P, g, coup, qb_df, qprime_df)
+
+    fx = P.faces.x
+    fy = P.faces.y
+    Sx, inc_x = _face_flux_dir(static, fx, coup.Q_uu_dp_edge.x, coup.Q_uv_dp_edge.x,
+                               coup.Q_vv_dp_edge.x, coup.H_bcl_edge.x,
+                               [(t.xl, t.xr) for t in traces], g.psiq)
+    Sy, inc_y = _face_flux_dir(static, fy, coup.Q_uu_dp_edge.y, coup.Q_uv_dp_edge.y,
+                               coup.Q_vv_dp_edge.y, coup.H_bcl_edge.y,
+                               [(t.yl, t.yr) for t in traces], g.psiq)
+    rhs = scatter_face_x(rhs, Sx, bc.x_periodic)
+    rhs = scatter_face_y(rhs, Sy, bc.y_periodic)
+    rhs = g.massinv * rhs
+
+    if static.use_visc:
+        if static.method_visc == 1:
+            from .viscosity import btp_quad_laplacian
+            rhs_visc, graduv, gface = btp_quad_laplacian(static, P, g, bc, coup, qb_df, qprime_df)
+        else:
+            rhs_visc, graduv, gface = btp_nodal_laplacian(static, P, g, bc, coup, qb_df)
+        rhs = rhs.at[1:].add(rhs_visc)
+    else:
+        graduv = jnp.zeros((4,) + qb_df.shape[1:], qb_df.dtype)
+        gface = Pair(jnp.zeros((4, 2) + traces[0].xl.shape, qb_df.dtype),
+                     jnp.zeros((4, 2) + traces[0].yl.shape, qb_df.dtype))
+
+    return rhs, vol_inc, inc_x, inc_y, graduv, gface
+
+
+def _accumulate(avg: BtpAverages, vol_inc, inc_x, inc_y, graduv, gface,
+                ope2_df_inc, ub_df_inc, vb_df_inc) -> BtpAverages:
+    fx, fy = avg.faces.x, avg.faces.y
+
+    def upd_face(fa: BtpFaceAvg, inc, gv):
+        return fa._replace(
+            H=fa.H + inc["H"], QuU=fa.QuU + inc["QuU"], QuV=fa.QuV + inc["QuV"],
+            QvU=fa.QvU + inc["QvU"], QvV=fa.QvV + inc["QvV"],
+            opeL=fa.opeL + inc["opeL"], opeR=fa.opeR + inc["opeR"],
+            ope2L=fa.ope2L + inc["ope2L"], ope2R=fa.ope2R + inc["ope2R"],
+            fluxU=fa.fluxU + inc["fluxU"], fluxV=fa.fluxV + inc["fluxV"],
+            opee2=fa.opee2 + inc["opee2"],
+            ubL=fa.ubL + inc["ubL"], ubR=fa.ubR + inc["ubR"],
+            vbL=fa.vbL + inc["vbL"], vbR=fa.vbR + inc["vbR"],
+            gvL=fa.gvL + gv[:, 0], gvR=fa.gvR + gv[:, 1],
+        )
+
+    return avg._replace(
+        H=avg.H + vol_inc["H"], Qu=avg.Qu + vol_inc["Qu"], Qv=avg.Qv + vol_inc["Qv"],
+        Quv=avg.Quv + vol_inc["Quv"], ope=avg.ope + vol_inc["ope"],
+        ope2=avg.ope2 + vol_inc["ope2"], ub=avg.ub + vol_inc["ub"],
+        vb=avg.vb + vol_inc["vb"], mfU=avg.mfU + vol_inc["mfU"],
+        mfV=avg.mfV + vol_inc["mfV"], tbU=avg.tbU + vol_inc["tbU"],
+        tbV=avg.tbV + vol_inc["tbV"],
+        ope2_df=avg.ope2_df + ope2_df_inc,
+        ub_df=avg.ub_df + ub_df_inc, vb_df=avg.vb_df + vb_df_inc,
+        graduvb=avg.graduvb + graduv,
+        faces=Pair(upd_face(fx, inc_x, gface.x), upd_face(fy, inc_y, gface.y)),
+    )
+
+
+def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
+                     coup: CouplingFields, qb_df, qprime_df):
+    """SSPRK barotropic sub-cycling over N_btp steps x kstages stages.
+
+    Reference ti_barotropic_ssprk_mlswe (src/mod_rk_mlswe.F90:19-151).
+    Returns (qb_df at t+dt, normalized BtpAverages).
+    """
+    dtype = qb_df.dtype
+    avg0 = zero_btp_averages(static, g, dtype)
+    a = P.ssprk_a
+    beta = P.ssprk_beta
+    kstages = static.kstages
+
+    def one_btp_step(carry, _):
+        qb, qb2, avg = carry
+        qb0 = qb
+        qb1 = qb
+        for ik in range(kstages):
+            # nodal accumulators BEFORE the stage RHS (reference :90-92)
+            ope2_df_inc = (1.0 + qb1[1] * P.one_over_pbprime_df) ** 2
+            ub_df_inc = qb1[2] / qb1[0]
+            vb_df_inc = qb1[3] / qb1[0]
+
+            rhs, vol_inc, inc_x, inc_y, graduv, gface = create_rhs_btp(
+                static, P, g, bc, coup, qb1, qprime_df)
+            avg = _accumulate(avg, vol_inc, inc_x, inc_y, graduv, gface,
+                              ope2_df_inc, ub_df_inc, vb_df_inc)
+
+            dtt = static.dt_btp * beta[ik]
+            new234 = (a[ik, 0] * qb0[1:4] + a[ik, 1] * qb1[1:4]
+                      + a[ik, 2] * qb2[1:4] + dtt * rhs)
+            pb = new234[0] + P.pbprime_df
+            qu, qv = apply_wall_projection(new234[1], new234[2], bc)
+            qb1 = jnp.stack([pb, new234[0], qu, qv])
+            if kstages == 5 and ik == 1:
+                qb2 = qb1
+        return (qb1, qb2, avg), None
+
+    qb2_0 = jnp.zeros_like(qb_df)
+    (qb, _, avg), _ = jax.lax.scan(one_btp_step, (qb_df, qb2_0, avg0), None,
+                                   length=static.n_btp)
+
+    n_inv = 1.0 / (kstages * static.n_btp)
+    avg = jax.tree_util.tree_map(lambda x: x * n_inv, avg)
+    return qb, avg

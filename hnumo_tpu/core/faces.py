@@ -141,30 +141,36 @@ def face_quad_scatter(psiq, jac_face, flux):
     return jnp.einsum("...q,nq->...n", jac_face * flux, psiq)
 
 
-def scatter_face_x(rhs, S, x_periodic: bool):
+def scatter_face_x(rhs, S, x_periodic: bool, S_right=None):
     """Accumulate x-face scatter values into element east/west edges.
 
     rhs: (..., nely, nelx, m, m); S: (..., nely, nelx+1, m) per-face values.
-    Sign convention: L side receives -S, R side +S (reference
-    src/mod_rhs_btp.F90:347-359).
+    Sign convention: L side receives -S, R side +S_right (defaults to S),
+    matching reference flux kernels (src/mod_rhs_btp.F90:347-359; the layer
+    momentum flux scatters side-specific H values,
+    src/mod_create_rhs_mlswe.F90:786-812).
     """
+    if S_right is None:
+        S_right = S
     rhs = rhs.at[..., :, :, :, -1].add(-S[..., :, 1:, :])
     if x_periodic:
-        rhs = rhs.at[..., :, :, :, 0].add(S[..., :, :-1, :])
+        rhs = rhs.at[..., :, :, :, 0].add(S_right[..., :, :-1, :])
     else:
-        rhs = rhs.at[..., :, 1:, :, 0].add(S[..., :, 1:-1, :])
+        rhs = rhs.at[..., :, 1:, :, 0].add(S_right[..., :, 1:-1, :])
         # west wall: the interior element is the L side of face 0
         rhs = rhs.at[..., :, 0, :, 0].add(-S[..., :, 0, :])
     return rhs
 
 
-def scatter_face_y(rhs, S, y_periodic: bool):
+def scatter_face_y(rhs, S, y_periodic: bool, S_right=None):
     """Accumulate y-face scatter values into element north/south edges."""
+    if S_right is None:
+        S_right = S
     rhs = rhs.at[..., :, :, -1, :].add(-S[..., 1:, :, :])
     if y_periodic:
-        rhs = rhs.at[..., :, :, 0, :].add(S[..., :-1, :, :])
+        rhs = rhs.at[..., :, :, 0, :].add(S_right[..., :-1, :, :])
     else:
-        rhs = rhs.at[..., 1:, :, 0, :].add(S[..., 1:-1, :, :])
+        rhs = rhs.at[..., 1:, :, 0, :].add(S_right[..., 1:-1, :, :])
         rhs = rhs.at[..., 0, :, 0, :].add(-S[..., 0, :, :])
     return rhs
 

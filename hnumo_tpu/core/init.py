@@ -1,0 +1,351 @@
+"""Initial conditions and precomputed reference-state tables.
+
+Host-side NumPy setup mirroring the reference init path:
+  initial_conditions (src/initial_conditions.F90:7-418),
+  mod_initial_create (src/mod_initial.F90:88-190),
+  interpolate_pbprime_init / bot_topo_derivatives / wind_stress_coriolis /
+  compute_reference_edge_variables (src/mod_initial_mlswe.F90).
+All arrays are built in float64 and cast to the compute dtype on device.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..basis.ssprk import ssprk_coefficients
+from ..config import Config
+from ..mesh.grid import Geometry
+from .faces import BCs
+from .types import FaceDirGeom, Pair, Precomputed, State
+
+GRAVITY_DEFAULT = 9.806
+
+
+@dataclasses.dataclass(frozen=True)
+class StaticConfig:
+    """Python-static solver parameters (baked into the jitted step)."""
+
+    nlayers: int
+    kstages: int
+    n_btp: int
+    dt: float
+    dt_btp: float
+    gravity: float
+    botfr: int
+    cd_mlswe: float
+    method_visc: int
+    visc_mlswe: float
+    ad_mlswe: float
+    max_shear_dz: float
+    alpha_bot: float    # alpha(nlayers), for quadratic bottom drag
+    Pstress: float      # wind-stress distribution depth scale (pressure)
+    Pbstress: float
+
+    @property
+    def use_visc(self) -> bool:
+        return self.visc_mlswe != 0.0
+
+
+@dataclasses.dataclass
+class InitialFields:
+    """Host-side initial condition output (float64 NumPy)."""
+
+    q_df: np.ndarray        # (3, L, nodal)
+    qb_df: np.ndarray       # (4, nodal)
+    qprime_df: np.ndarray   # (3, L, nodal)
+    pbprime_df: np.ndarray  # (nodal)
+    zbot_df: np.ndarray
+    z_interface: np.ndarray  # (L+1, nodal)
+    alpha: np.ndarray       # (L,)
+    tau_wind_df: np.ndarray  # (2, nodal)
+    gravity: float
+
+
+def _test_case_fields(cfg: Config, geom: Geometry) -> InitialFields:
+    """Test-case switch (reference src/initial_conditions.F90:93-306)."""
+    L = cfg.nlayers
+    x = geom.coord[..., 0]
+    y = geom.coord[..., 1]
+    shape = x.shape
+    zbot = np.zeros(shape)
+    z_int = np.zeros((L + 1,) + shape)
+    alpha = np.zeros(L)
+    tau_wind_df = np.zeros((2,) + shape)
+    grav = GRAVITY_DEFAULT
+    Ly = cfg.ydims[1] - cfg.ydims[0]
+
+    tc = cfg.test_case.strip().lower()
+    if tc == "bump":
+        H_bot = 40.0
+        zbot[:] = -H_bot
+        for k in range(L + 1):
+            z_int[k] = -k * H_bot / L
+        xm = 0.5 * (x.min() + x.max())
+        yl = 0.5 * (y.min() + y.max())
+        Lb, amp = 250.0, 1.0
+        r = np.sqrt((x - xm) ** 2 + (y - yl) ** 2)
+        z_int[1] = np.where(r < Lb, z_int[1] + 0.5 * amp * (1.0 + np.cos(np.pi * r / Lb)), z_int[1])
+        alpha[0] = 0.9737e-3
+        alpha[1] = 0.9735e-3
+    elif tc == "lakeatrest":
+        H_bot = 40.0
+        zbot[:] = -H_bot
+        xm = 0.5 * (cfg.xdims[0] + cfg.xdims[1])
+        yl = 0.5 * (cfg.ydims[0] + cfg.ydims[1])
+        Lb = 250.0
+        r = np.sqrt((x - xm) ** 2 + (y - yl) ** 2)
+        zbot = np.where(r < Lb, zbot + 3.0 * (1.0 + np.cos(np.pi * r / Lb)), zbot)
+        for k in range(L + 1):
+            if L < 5:
+                z_int[k] = -k * H_bot / L
+            else:
+                z_int[k] = -k * 32.0 / (L - 1)
+        if L >= 5:
+            z_int[L] = -H_bot
+        rho_0 = 1027.01037
+        alpha[0] = 1.0 / rho_0
+        for k in range(1, L):
+            alpha[k] = 1.0 / (rho_0 + (k + 1) * 0.2110 / L)
+    elif tc in ("double-gyre", "double_gyre"):
+        H_bot = 9928.0
+        zbot[:] = -H_bot
+        z_int[1] = -1489.5
+        z_int[2] = -H_bot
+        alpha[0] = 9.7370e-4
+        alpha[1] = 9.7350e-4
+        tau_wind_df[0] = -0.1 * np.cos(2.0 * np.pi * y / Ly)
+    elif tc == "dam":
+        H_bot = 3600.0
+        xk, yk = x / 1.0e3, y / 1.0e3
+        zb = np.where(yk <= 300.0, H_bot,
+                      np.where(yk <= 600.0, H_bot - 9.5 * (yk - 300.0), 0.0))
+        zb = np.where((yk > 600.0) & (xk >= 400.0) & (xk <= 500.0), 600.0, zb)
+        zbot = -zb
+        indep = np.zeros(L + 1)
+        for k in range(1, L):
+            indep[k] = H_bot * (k - 0.5) / (L - 1)
+        for k in range(L):
+            z_int[k] = -indep[k]
+        z_int[L] = zbot
+        for k in range(L):
+            z_int[k] = np.maximum(zbot, z_int[k])
+        mask = (yk >= 650.0) & (yk <= Ly) & (xk >= 400.0) & (xk <= 500.0)
+        for k in range(1, L):
+            z_int[k] = np.where(mask, np.maximum(-100.0, z_int[k]), z_int[k])
+        rho_0 = 1027.01037
+        alpha[0] = 1.0 / rho_0
+        for k in range(1, L):
+            alpha[k] = 1.0 / (rho_0 + (k + 1) * 0.2110 / L)
+    elif tc == "seamount":
+        H_bot = 4000.0
+        zbot[:] = -H_bot
+        xm = 0.5 * (cfg.xdims[0] + cfg.xdims[1])
+        Lb, delta = 1.0 / 20.0e3, 0.4998
+        r = (Lb * (x - xm)) ** 2
+        zbot = zbot * (1.0 - delta * np.exp(-r))
+        for k in range(L + 1):
+            z_int[k] = -k * H_bot / L
+        z_int[L] = zbot
+        rho_0 = 1027.01037
+        alpha[0] = 1.0 / rho_0
+        for k in range(1, L):
+            alpha[k] = 1.0 / (rho_0 + (k + 1) * 0.2110 / L)
+    else:
+        raise ValueError(f"unknown test case {cfg.test_case!r}")
+
+    # clamp interfaces to bottom (reference :310-317)
+    for k in range(L + 1):
+        z_int[k] = np.maximum(zbot, z_int[k])
+
+    # pbprime + layer dp + barotropic sums (reference :324-416)
+    pbprime_df = np.zeros(shape)
+    for k in range(L):
+        pbprime_df += (grav / alpha[k]) * (z_int[k] - z_int[k + 1])
+
+    q_df = np.zeros((3, L) + shape)
+    one_plus_eta = np.zeros(shape)
+    for k in range(L):
+        q_df[0, k] = (grav / alpha[k]) * (z_int[k] - z_int[k + 1])
+        one_plus_eta += q_df[0, k] / pbprime_df
+    qprime_df = np.zeros_like(q_df)
+    qprime_df[0] = q_df[0] / one_plus_eta[None]
+    # initial velocities are zero for all shipped cases (u_df=v_df=0)
+
+    qb_df = np.zeros((4,) + shape)
+    qb_df[0] = q_df[0].sum(axis=0)
+    qb_df[2] = q_df[1].sum(axis=0)
+    qb_df[3] = q_df[2].sum(axis=0)
+    qb_df[1] = qb_df[0] - pbprime_df
+    with np.errstate(invalid="ignore", divide="ignore"):
+        qprime_df[1] = q_df[1] / q_df[0] - (qb_df[2] / qb_df[0])[None]
+        qprime_df[2] = q_df[2] / q_df[0] - (qb_df[3] / qb_df[0])[None]
+    qprime_df = np.nan_to_num(qprime_df)
+
+    return InitialFields(q_df=q_df, qb_df=qb_df, qprime_df=qprime_df,
+                         pbprime_df=pbprime_df, zbot_df=zbot,
+                         z_interface=z_int, alpha=alpha,
+                         tau_wind_df=tau_wind_df, gravity=grav)
+
+
+def _face_traces_np(u, geom: Geometry, bc: BCs):
+    """Host-side nodal face trace extraction (scalar copy closure)."""
+    east, west = u[..., :, :, :, -1], u[..., :, :, :, 0]
+    north, south = u[..., :, :, -1, :], u[..., :, :, 0, :]
+    if bc.x_periodic:
+        xl = np.concatenate([east[..., -1:, :], east], axis=-2)
+        xr = np.concatenate([west, west[..., :1, :]], axis=-2)
+    else:
+        xl = np.concatenate([west[..., :1, :], east], axis=-2)
+        xr = np.concatenate([west[..., :1, :], west[..., 1:, :], east[..., -1:, :]], axis=-2)
+    if bc.y_periodic:
+        yl = np.concatenate([north[..., -1:, :, :], north], axis=-3)
+        yr = np.concatenate([south, south[..., :1, :, :]], axis=-3)
+    else:
+        yl = np.concatenate([south[..., :1, :, :], north], axis=-3)
+        yr = np.concatenate([south[..., :1, :, :], south[..., 1:, :, :], north[..., -1:, :, :]], axis=-3)
+    return (xl, xr), (yl, yr)
+
+
+def build_precomputed(cfg: Config, geom: Geometry, dtype) -> tuple[Precomputed, State, StaticConfig, InitialFields]:
+    """Build all static tables + initial state."""
+    bc = BCs(cfg.x_boundary[0], cfg.x_boundary[1], cfg.y_boundary[0], cfg.y_boundary[1])
+    ini = _test_case_fields(cfg, geom)
+    grav = ini.gravity
+    L = cfg.nlayers
+
+    def n2q(u):  # nodal -> quad interp, host side
+        return np.einsum("...ji,jJ,iI->...JI", u, geom.psiq, geom.psiq, optimize=True)
+
+    def grad_q(u):  # nodal -> quad gradient
+        d_ksi = np.einsum("...ji,jJ,iI->...JI", u, geom.psiq, geom.dpsiq, optimize=True)
+        d_eta = np.einsum("...ji,jJ,iI->...JI", u, geom.dpsiq, geom.psiq, optimize=True)
+        return (d_ksi * geom.ksiq_x + d_eta * geom.etaq_x,
+                d_ksi * geom.ksiq_y + d_eta * geom.etaq_y)
+
+    pbprime_q = n2q(ini.pbprime_df)
+    zbot_q = n2q(ini.zbot_df)
+    gzx, gzy = grad_q(ini.zbot_df)
+
+    with np.errstate(divide="ignore"):
+        one_over_pbprime = np.where(pbprime_q > 0, 1.0 / pbprime_q, 0.0)
+        one_over_pbprime_df = np.where(ini.pbprime_df > 0, 1.0 / ini.pbprime_df, 0.0)
+
+    # Coriolis (reference wind_stress_coriolis, src/mod_initial_mlswe.F90:280-352)
+    ym = 0.5 * cfg.ydims[1]
+    coriolis_df = cfg.f0 + cfg.beta * (geom.coord[..., 1] - ym)
+    coriolis_quad = n2q(coriolis_df)
+    tau_wind_q = np.stack([n2q(ini.tau_wind_df[0]), n2q(ini.tau_wind_df[1])])
+    fdt2 = 0.5 * cfg.dt * coriolis_df
+    a_bcl = 1.0 / (1.0 + fdt2**2)
+    b_bcl = fdt2 / (1.0 + fdt2**2)
+
+    ssprk_a, ssprk_beta = ssprk_coefficients(
+        cfg.kstages, "lsrk" if cfg.ti_method_btp == "lsrk" else "ssprk")
+
+    # ---- per-direction face tables -------------------------------------
+    (pbq_xl, pbq_xr), (pbq_yl, pbq_yr) = _face_traces_np(pbprime_q, geom, bc)
+    # quad-grid face traces: slice quad field edges (pbprime at quad points,
+    # one-sided limits — reference interpolate_pbprime_init :219-251)
+    (pbdf_xl, pbdf_xr), (pbdf_yl, pbdf_yr) = _face_traces_np(ini.pbprime_df, geom, bc)
+    (zb_xl, zb_xr), (zb_yl, zb_yr) = _face_traces_np(zbot_q, geom, bc)
+
+    def face_dir_geom(direction):
+        if direction == "x":
+            nx, ny, jac = geom.nx_x, geom.ny_x, geom.jac_facex
+            nx_df, ny_df, jac_df = geom.nx_x_df, geom.ny_x_df, geom.jac_facex_df
+            pbL, pbR = pbq_xl, pbq_xr
+            pbdfL, pbdfR = pbdf_xl, pbdf_xr
+            zbL, zbR = zb_xl, zb_xr
+            F = (geom.nely, geom.nelx + 1)
+            wall = np.zeros(F + (1,))
+            if not bc.x_periodic:
+                if bc.west == 4:
+                    wall[:, 0, 0] = 1.0
+                if bc.east == 4:
+                    wall[:, -1, 0] = 1.0
+        else:
+            nx, ny, jac = geom.nx_y, geom.ny_y, geom.jac_facey
+            nx_df, ny_df, jac_df = geom.nx_y_df, geom.ny_y_df, geom.jac_facey_df
+            pbL, pbR = pbq_yl, pbq_yr
+            pbdfL, pbdfR = pbdf_yl, pbdf_yr
+            zbL, zbR = zb_yl, zb_yr
+            F = (geom.nely + 1, geom.nelx)
+            wall = np.zeros(F + (1,))
+            if not bc.y_periodic:
+                if bc.south == 4:
+                    wall[0, :, 0] = 1.0
+                if bc.north == 4:
+                    wall[-1, :, 0] = 1.0
+
+        # linearized-Riemann wave-speed coefficient tables (quad version:
+        # reference compute_reference_edge_variables, note c_minus is built
+        # from the RIGHT face value, src/mod_initial_mlswe.F90:382-396)
+        c_minus = np.sqrt(ini.alpha[L - 1] * pbR)
+        c_plus = np.sqrt(ini.alpha[L - 1] * pbL)
+        csum = c_minus + c_plus
+        ok = (c_minus > 0) | (c_plus > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            coeff_pbpert_L = np.where(ok, c_minus / csum, 0.0)
+            coeff_pbpert_R = np.where(ok, c_plus / csum, 0.0)
+            coeff_pbub_LR = np.where(ok, 1.0 / csum, 0.0)
+            coeff_mass_pbub_L = np.where(ok, c_plus / csum, 0.0)
+            coeff_mass_pbub_R = np.where(ok, c_minus / csum, 0.0)
+            coeff_mass_pbpert_LR = np.where(ok, c_minus * c_plus / csum, 0.0)
+
+        with np.errstate(divide="ignore"):
+            one_over_pb_edge = np.where(pbL > 0, 1.0 / pbL, 0.0)
+
+        def cast(a):
+            return jnp.asarray(a, dtype=dtype)
+
+        return FaceDirGeom(
+            nx=cast(nx), ny=cast(ny), jac=cast(jac),
+            nx_df=cast(nx_df), ny_df=cast(ny_df), jac_df=cast(jac_df),
+            coeff_pbpert_L=cast(coeff_pbpert_L), coeff_pbpert_R=cast(coeff_pbpert_R),
+            coeff_pbub_LR=cast(coeff_pbub_LR),
+            coeff_mass_pbub_L=cast(coeff_mass_pbub_L),
+            coeff_mass_pbub_R=cast(coeff_mass_pbub_R),
+            coeff_mass_pbpert_LR=cast(coeff_mass_pbpert_LR),
+            pbprime_face_L=cast(pbL), pbprime_face_R=cast(pbR),
+            one_over_pbprime_edge=cast(one_over_pb_edge),
+            pbprime_df_face_L=cast(pbdfL), pbprime_df_face_R=cast(pbdfR),
+            zbot_face_L=cast(zbL), zbot_face_R=cast(zbR),
+            wall4=cast(wall),
+        )
+
+    def cast(a):
+        return jnp.asarray(np.asarray(a), dtype=dtype)
+
+    P = Precomputed(
+        alpha=cast(ini.alpha),
+        pbprime=cast(pbprime_q), pbprime_df=cast(ini.pbprime_df),
+        one_over_pbprime=cast(one_over_pbprime),
+        one_over_pbprime_df=cast(one_over_pbprime_df),
+        zbot_df=cast(ini.zbot_df), zbot_quad=cast(zbot_q),
+        grad_zbot_quad=cast(np.stack([gzx, gzy])),
+        tau_wind=cast(tau_wind_q), tau_wind_df=cast(ini.tau_wind_df),
+        coriolis_quad=cast(coriolis_quad), coriolis_df=cast(coriolis_df),
+        fdt2_bcl=cast(fdt2), a_bcl=cast(a_bcl), b_bcl=cast(b_bcl),
+        ssprk_a=cast(ssprk_a), ssprk_beta=cast(ssprk_beta),
+        faces=Pair(face_dir_geom("x"), face_dir_geom("y")),
+    )
+
+    state = State(
+        qb_df=cast(ini.qb_df), q_df=cast(ini.q_df), qprime_df=cast(ini.qprime_df),
+        t=jnp.asarray(cfg.t_initial, dtype=dtype), ok=jnp.asarray(True),
+    )
+
+    static = StaticConfig(
+        nlayers=L, kstages=cfg.kstages, n_btp=cfg.n_btp,
+        dt=cfg.dt, dt_btp=cfg.dt_btp_eff, gravity=grav,
+        botfr=cfg.botfr, cd_mlswe=cfg.cd_mlswe,
+        method_visc=cfg.method_visc, visc_mlswe=cfg.visc_mlswe,
+        ad_mlswe=cfg.ad_mlswe,
+        max_shear_dz=cfg.max_shear_dz if cfg.max_shear_dz > 0 else 1.0,
+        alpha_bot=float(ini.alpha[L - 1]),
+        Pstress=(grav / ini.alpha[0]) * 50.0,
+        Pbstress=(grav / ini.alpha[L - 1]) * 10.0,
+    )
+    return P, state, static, ini

@@ -117,6 +117,21 @@ def scatter_volume(g: DeviceGeom, Fx=None, Fy=None, Fs=None):
     return out
 
 
+def scatter_volume_nodal(g: DeviceGeom, Fx, Fy):
+    """Weak-form volume integral evaluated with the NODAL quadrature.
+
+    rhs_I = sum_n w_n (dpsi_I/dx(x_n) Fx_n + dpsi_I/dy(x_n) Fy_n), used by the
+    nodal-family LDG viscosity (reference btp_compute_laplacian,
+    src/mod_laplacian_quad.F90:357-425, which integrates with wjac_df and the
+    dpsidx_df tables).
+    """
+    a_ksi = g.wjac_df * (Fx * g.ksi_x + Fy * g.ksi_y)
+    a_eta = g.wjac_df * (Fx * g.eta_x + Fy * g.eta_y)
+    out = jnp.einsum("...jI,iI->...ji", a_ksi, g.dpsi)
+    out = out + jnp.einsum("...Ji,jJ->...ji", a_eta, g.dpsi)
+    return out
+
+
 def project_q2n(g: DeviceGeom, f):
     """L2-project a quad field back to nodal dofs (with inverse lumped mass).
 
