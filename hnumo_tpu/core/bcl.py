@@ -74,8 +74,8 @@ def layer_mass_rhs(static, P: Precomputed, g: DeviceGeom, bc: BCs,
                           ax.ubL, ax.ubR, ax.vbL, ax.vbR, ax.opeL, ax.opeR, P.faces.x)
     Sy, slmf_y = flux_dir(fdp.yl, fdp.yr, fu.yl, fu.yr, fv.yl, fv.yr,
                           ay.ubL, ay.ubR, ay.vbL, ay.vbR, ay.opeL, ay.opeR, P.faces.y)
-    dp_advec = scatter_face_x(dp_advec, Sx, bc.x_periodic)
-    dp_advec = scatter_face_y(dp_advec, Sy, bc.y_periodic)
+    dp_advec = scatter_face_x(dp_advec, Sx, bc)
+    dp_advec = scatter_face_y(dp_advec, Sy, bc)
     dp_advec = g.massinv * dp_advec
     return dp_advec, slmf, Pair(slmf_x, slmf_y)
 
@@ -117,8 +117,8 @@ def apply_consistency(static, P: Precomputed, g: DeviceGeom, bc: BCs,
 
     Sx = face_dir(fdp.xl, fdp.xr, slmf_face.x, avg.faces.x, P.faces.x)
     Sy = face_dir(fdp.yl, fdp.yr, slmf_face.y, avg.faces.y, P.faces.y)
-    dp_advec = scatter_face_x(dp_advec, Sx, bc.x_periodic)
-    dp_advec = scatter_face_y(dp_advec, Sy, bc.y_periodic)
+    dp_advec = scatter_face_x(dp_advec, Sx, bc)
+    dp_advec = scatter_face_y(dp_advec, Sy, bc)
 
     return q_df.at[0].add(static.dt * g.massinv * dp_advec)
 
@@ -348,10 +348,10 @@ def layer_momentum_fluxes(static, P: Precomputed, g: DeviceGeom, bc: BCs,
                                      avg.faces.y, P.faces.y, avg.faces.y.H)
 
     rhs_u, rhs_v = rhs_mom[0], rhs_mom[1]
-    rhs_u = scatter_face_x(rhs_u, SuLx, bc.x_periodic, S_right=SuRx)
-    rhs_u = scatter_face_y(rhs_u, SuLy, bc.y_periodic, S_right=SuRy)
-    rhs_v = scatter_face_x(rhs_v, SvLx, bc.x_periodic, S_right=SvRx)
-    rhs_v = scatter_face_y(rhs_v, SvLy, bc.y_periodic, S_right=SvRy)
+    rhs_u = scatter_face_x(rhs_u, SuLx, bc, S_right=SuRx)
+    rhs_u = scatter_face_y(rhs_u, SuLy, bc, S_right=SuRy)
+    rhs_v = scatter_face_x(rhs_v, SvLx, bc, S_right=SvRx)
+    rhs_v = scatter_face_y(rhs_v, SvLy, bc, S_right=SvRy)
     return jnp.stack([rhs_u, rhs_v])
 
 

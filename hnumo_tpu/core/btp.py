@@ -205,10 +205,10 @@ def btp_nodal_laplacian(static, P: Precomputed, g: DeviceGeom, bc: BCs,
     SxU, SxV = face_dir(gface_x, coup.btp_graduv_dpp_face.x, fgx.nx_df, fgx.ny_df, fgx.jac_df)
     SyU, SyV = face_dir(gface_y, coup.btp_graduv_dpp_face.y, fgy.nx_df, fgy.ny_df, fgy.jac_df)
 
-    lap_u = scatter_face_x(lap_u, -SxU, bc.x_periodic)
-    lap_u = scatter_face_y(lap_u, -SyU, bc.y_periodic)
-    lap_v = scatter_face_x(lap_v, -SxV, bc.x_periodic)
-    lap_v = scatter_face_y(lap_v, -SyV, bc.y_periodic)
+    lap_u = scatter_face_x(lap_u, -SxU, bc)
+    lap_u = scatter_face_y(lap_u, -SyU, bc)
+    lap_v = scatter_face_x(lap_v, -SxV, bc)
+    lap_v = scatter_face_y(lap_v, -SyV, bc)
 
     rhs_lap = static.visc_mlswe * g.massinv * jnp.stack([lap_u, lap_v])
     return rhs_lap, graduv, Pair(gface_x, gface_y)
@@ -231,8 +231,8 @@ def create_rhs_btp(static, P: Precomputed, g: DeviceGeom, bc: BCs,
     Sy, inc_y = _face_flux_dir(static, fy, coup.Q_uu_dp_edge.y, coup.Q_uv_dp_edge.y,
                                coup.Q_vv_dp_edge.y, coup.H_bcl_edge.y,
                                [(t.yl, t.yr) for t in traces], g.psiq)
-    rhs = scatter_face_x(rhs, Sx, bc.x_periodic)
-    rhs = scatter_face_y(rhs, Sy, bc.y_periodic)
+    rhs = scatter_face_x(rhs, Sx, bc)
+    rhs = scatter_face_y(rhs, Sy, bc)
     rhs = g.massinv * rhs
 
     if static.use_visc:
@@ -290,6 +290,16 @@ def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
     """
     dtype = qb_df.dtype
     avg0 = zero_btp_averages(static, g, dtype)
+    # under shard_map the scan carry must be device-varying from the start
+    axes = tuple(a for a in (bc.ax, bc.ay) if a is not None)
+
+    def _vary(x):
+        vma = getattr(jax.typeof(x), "vma", frozenset())
+        need = tuple(a for a in axes if a not in vma)
+        return jax.lax.pcast(x, need, to="varying") if need else x
+
+    if axes:
+        avg0 = jax.tree_util.tree_map(_vary, avg0)
     a = P.ssprk_a
     beta = P.ssprk_beta
     kstages = static.kstages
@@ -320,6 +330,8 @@ def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
         return (qb1, qb2, avg), None
 
     qb2_0 = jnp.zeros_like(qb_df)
+    if axes:
+        qb2_0 = _vary(qb2_0)
     (qb, _, avg), _ = jax.lax.scan(one_btp_step, (qb_df, qb2_0, avg0), None,
                                    length=static.n_btp)
 

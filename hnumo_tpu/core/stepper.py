@@ -17,7 +17,7 @@ from .bcl import (apply_consistency, evaluate_bcl, evaluate_bcl_v1,
                   rhs_layer_shear_stress, velocity_df)
 from .btp import barotropic_solve
 from .coupling import btp_bcl_coeffs
-from .faces import BCs, apply_wall_projection
+from .faces import BCs, all_shards_and, apply_wall_projection
 from .types import Precomputed, State
 
 
@@ -64,7 +64,7 @@ def _thickness_update(static, P, g, bc, avg, q_df, qprime_df, qprime_faces):
     dp_advec, slmf, slmf_face = layer_mass_rhs(
         static, P, g, bc, avg, qprime_df, qprime_faces)
     q_df = q_df.at[0].add(static.dt * dp_advec)
-    ok = jnp.all(q_df[0] >= 0.0)
+    ok = all_shards_and(jnp.all(q_df[0] >= 0.0), bc)
     q_df = apply_consistency(static, P, g, bc, avg, q_df, slmf, slmf_face)
     return q_df, ok
 

@@ -42,10 +42,10 @@ def _flipflop_face_quad(static, P: Precomputed, g: DeviceGeom, bc: BCs, fl_x, fr
 
 def _apply_face_plus_minus(rhs_u, rhs_v, SxU, SxV, SyU, SyV, bc: BCs):
     """LDG face signs: L side +, R side - (reference :704-716)."""
-    rhs_u = scatter_face_x(rhs_u, -SxU, bc.x_periodic)
-    rhs_u = scatter_face_y(rhs_u, -SyU, bc.y_periodic)
-    rhs_v = scatter_face_x(rhs_v, -SxV, bc.x_periodic)
-    rhs_v = scatter_face_y(rhs_v, -SyV, bc.y_periodic)
+    rhs_u = scatter_face_x(rhs_u, -SxU, bc)
+    rhs_u = scatter_face_y(rhs_u, -SyU, bc)
+    rhs_v = scatter_face_x(rhs_v, -SxV, bc)
+    rhs_v = scatter_face_y(rhs_v, -SyV, bc)
     return rhs_u, rhs_v
 
 

@@ -22,7 +22,11 @@ from .ops.dg import device_geom
 
 
 class Model:
-    def __init__(self, cfg: Config):
+    def __init__(self, cfg: Config, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with axes ('y', 'x') — the
+        element grid is block-decomposed over it (domain decomposition;
+        replaces the reference's p4est partition + MPI halos, SURVEY §2.9).
+        """
         self.cfg = cfg
         dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
         if dtype == jnp.float64 and not jax.config.jax_enable_x64:
@@ -40,13 +44,56 @@ class Model:
         self.P, self.state0, self.static, self.init_fields = build_precomputed(
             cfg, self.geom, dtype)
 
-        static, P, g, bcs = self.static, self.P, self.g, self.bc
+        self.mesh = mesh
+        if mesh is None:
+            static, P, g, bcs = self.static, self.P, self.g, self.bc
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def _step(state: State) -> State:
-            return ti_rk_bcl(static, P, g, bcs, state)
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def _step(state: State) -> State:
+                return ti_rk_bcl(static, P, g, bcs, state)
 
-        self._step = _step
+            self._step = _step
+        else:
+            from jax import shard_map
+
+            from .parallel.sharding import (blockify_tables, state_shardings,
+                                            state_spec, table_specs)
+
+            py, px = mesh.shape["y"], mesh.shape["x"]
+            if cfg.nely % py or cfg.nelx % px:
+                raise ValueError(
+                    f"element grid {cfg.nely}x{cfg.nelx} not divisible by "
+                    f"mesh {dict(mesh.shape)}")
+            self.g, self.P = blockify_tables(self.g, self.P, px, py)
+            self._shardings = state_shardings(mesh)
+            self.state0 = jax.device_put(self.state0, self._shardings)
+
+            static = self.static
+            # always name both axes (size-1 ppermute is identity); values are
+            # device-varying over every mesh axis regardless of its size
+            bcs = self.bc._replace(ax="x", ay="y")
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sspec = state_spec()
+            gspec = table_specs(self.g, cfg.nely, cfg.nelx, px, py)
+            pspec = table_specs(self.P, cfg.nely, cfg.nelx, px, py)
+            is_spec = lambda x: isinstance(x, PartitionSpec)
+            self.g = jax.device_put(self.g, jax.tree.map(
+                lambda s: NamedSharding(mesh, s), gspec, is_leaf=is_spec))
+            self.P = jax.device_put(self.P, jax.tree.map(
+                lambda s: NamedSharding(mesh, s), pspec, is_leaf=is_spec))
+
+            step_local = shard_map(
+                lambda state, Pre, geo: ti_rk_bcl(static, Pre, geo, bcs, state),
+                mesh=mesh, in_specs=(sspec, pspec, gspec), out_specs=sspec)
+
+            P_tables, g_tables = self.P, self.g
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def _step(state: State) -> State:
+                return step_local(state, P_tables, g_tables)
+
+            self._step = _step
 
     def step(self, state: State) -> State:
         return self._step(state)

@@ -110,8 +110,8 @@ def test_dg_weak_divergence_identity(geom, g):
     flux_y = g.nx_y * face_n2q(g.psiq, 0.5 * (fu.yl + fu.yr)) + g.ny_y * vyq
     Sx = face_quad_scatter(g.psiq, g.jac_facex, flux_x)
     Sy = face_quad_scatter(g.psiq, g.jac_facey, flux_y)
-    rhs = scatter_face_x(rhs, Sx, x_periodic=False)
-    rhs = scatter_face_y(rhs, Sy, y_periodic=False)
+    rhs = scatter_face_x(rhs, Sx, bc0)
+    rhs = scatter_face_y(rhs, Sy, bc0)
     rhs = g.massinv * rhs
     np.testing.assert_allclose(np.asarray(rhs), -3.0 * x, rtol=1e-9, atol=1e-6)
 
@@ -156,13 +156,13 @@ def test_face_scatter_conservation(geom, g):
     rng = np.random.default_rng(0)
     S = jnp.asarray(rng.normal(size=(3, 5, geom.ngl)))  # x-faces of 3x4 mesh
     rhs = jnp.zeros((3, 4, geom.ngl, geom.ngl))
-    out = scatter_face_x(rhs, S, x_periodic=False)
+    out = scatter_face_x(rhs, S, BCs(4, 4, 4, 4))
     # interior faces contribute -S to left and +S to right: total = boundary only
     total = np.asarray(out).sum()
     expect = -(np.asarray(S[:, 0]).sum() + np.asarray(S[:, -1]).sum())
     np.testing.assert_allclose(total, expect, atol=1e-12)
     Sy = jnp.asarray(rng.normal(size=(4, 4, geom.ngl)))
-    out = scatter_face_y(jnp.zeros((3, 4, geom.ngl, geom.ngl)), Sy, y_periodic=False)
+    out = scatter_face_y(jnp.zeros((3, 4, geom.ngl, geom.ngl)), Sy, BCs(4, 4, 4, 4))
     expect = -(np.asarray(Sy[0]).sum() + np.asarray(Sy[-1]).sum())
     np.testing.assert_allclose(np.asarray(out).sum(), expect, atol=1e-12)
 
