@@ -41,8 +41,13 @@ class Model:
                                    bc=bc, exact_integration=cfg.dg_integ_exact)
         self.g = device_geom(self.geom, dtype)
         self.bc = BCs(*bc)
-        self.P, self.state0, self.static, self.init_fields = build_precomputed(
+        self.P, _state0, self.static, self.init_fields = build_precomputed(
             cfg, self.geom, dtype)
+        # keep the initial state on host: step() donates its input buffer, so
+        # state0 materializes a FRESH device state on every access
+        import numpy as _np
+        self._state0_host = jax.tree.map(_np.asarray, _state0)
+        self._shardings = None
 
         self.mesh = mesh
         if mesh is None:
@@ -66,7 +71,6 @@ class Model:
                     f"mesh {dict(mesh.shape)}")
             self.g, self.P = blockify_tables(self.g, self.P, px, py)
             self._shardings = state_shardings(mesh)
-            self.state0 = jax.device_put(self.state0, self._shardings)
 
             static = self.static
             # always name both axes (size-1 ppermute is identity); values are
@@ -94,6 +98,15 @@ class Model:
                 return step_local(state, P_tables, g_tables)
 
             self._step = _step
+
+    @property
+    def state0(self) -> State:
+        import jax.numpy as jnp
+
+        s = State(*[jnp.asarray(a) for a in self._state0_host])
+        if self._shardings is not None:
+            s = jax.device_put(s, self._shardings)
+        return s
 
     def step(self, state: State) -> State:
         return self._step(state)
