@@ -51,8 +51,9 @@ m = Model(cfg)
 s = m.state0
 
 wj = np.asarray(jax.device_get(m.g.wjac_df))  # nodal quadrature weights
-q0 = np.asarray(jax.device_get(s.q_df))
-mass0 = (wj[None] * q0[0]).sum(axis=(1, 2, 3, 4))
+dpp_ref = np.asarray(m.init_fields.qprime_df[0], np.float64)  # f64 master ref
+q0 = np.asarray(jax.device_get(s.q_df), dtype=np.float64)
+mass0 = (wj[None] * (dpp_ref + q0[0])).sum(axis=(1, 2, 3, 4))
 
 nsteps = args.steps or m.nsteps_total
 t0 = time.time()
@@ -62,15 +63,16 @@ s.q_df.block_until_ready()
 dt_run = time.time() - t0
 print(f"{nsteps} steps in {dt_run:.2f}s ({dt_run/nsteps*1e3:.1f} ms/step), ok={bool(s.ok)}")
 
-q = np.asarray(jax.device_get(s.q_df))
+q = np.asarray(jax.device_get(s.q_df), dtype=np.float64)
 P = m.P
 alpha = np.asarray(jax.device_get(P.alpha))
 g = 9.806
-mass = (wj[None] * q[0]).sum(axis=(1, 2, 3, 4))
+dp_full = dpp_ref + q[0]          # q_df[0] stores δdp (core.types.State)
+mass = (wj[None] * dp_full).sum(axis=(1, 2, 3, 4))
 
-h = alpha[:, None, None, None, None] / g * q[0]
-u = q[1] / q[0]
-v = q[2] / q[0]
+h = alpha[:, None, None, None, None] / g * dp_full
+u = q[1] / dp_full
+v = q[2] / dp_full
 zbot = np.asarray(jax.device_get(P.zbot_df))
 # elevations: z_{nlayers+1}=zbot; z_k = z_{k+1} + h_k  (diagnostics.F90:31-45)
 elev = [zbot]
@@ -81,8 +83,12 @@ ssh = np.stack(elev[:cfg.nlayers])
 fails = 0
 for k in range(cfg.nlayers):
     ml = abs(mass[k] - mass0[k]) / mass0[k]
-    print(f"Layer {k+1}: mass loss = {ml:.3e} {'OK' if ml < 1e-12 else 'FAIL(>1e-12)'}")
-    if ml >= 1e-12:
+    # f32 telescoping leaks at fp32-eps scale (docs/float32.md); the 1e-12
+    # gate is the f64 validation contract, mirroring the reference's default
+    # double-precision build (-DSINGLE carries the same relaxation)
+    gate = 1e-6 if args.f32 else 1e-12
+    print(f"Layer {k+1}: mass loss = {ml:.3e} {'OK' if ml < gate else f'FAIL(>{gate})'}")
+    if ml >= gate:
         fails += 1
     for name, arr in (("h", h[k]), ("u", u[k]), ("v", v[k]), ("ssh", ssh[k])):
         gmax, gmin = GOLDEN[k + 1][name]

@@ -45,8 +45,8 @@ def layer_mass_rhs(static, P: Precomputed, g: DeviceGeom, bc: BCs,
     (src/mod_create_rhs_mlswe.F90:53-78, 822-877, 922-1034).
     Returns (dp_advec (L, nodal), slmf (2, quad), slmf_face Pair of (2, F, nq)).
     """
-    qp = interp_n2q(g, qprime_df)                 # (3, L, quad)
-    dp = qp[0] * avg.ope[None]
+    qp = interp_n2q(g, qprime_df)                 # (3, L, quad); qp[0] = δdp'
+    dp = (P.dpp_ref_q + qp[0]) * (1.0 + avg.mu[None])
     udp = (qp[1] + avg.ub[None]) * dp
     vdp = (qp[2] + avg.vb[None]) * dp
     slmf = jnp.stack([jnp.sum(udp, 0), jnp.sum(vdp, 0)])
@@ -55,14 +55,14 @@ def layer_mass_rhs(static, P: Precomputed, g: DeviceGeom, bc: BCs,
 
     fdp, fu, fv = qprime_faces
 
-    def flux_dir(dL, dR, uL, uR, vL, vR, ubL, ubR, vbL, vbR, opeL, opeR, fg):
+    def flux_dir(dL, dR, uL, uR, vL, vR, ubL, ubR, vbL, vbR, muL, muR, fg):
         dLq, dRq = face_n2q(g.psiq, dL), face_n2q(g.psiq, dR)   # (L, F, nq)
         uLq, uRq = face_n2q(g.psiq, uL), face_n2q(g.psiq, uR)
         vLq, vRq = face_n2q(g.psiq, vL), face_n2q(g.psiq, vR)
         uu = 0.5 * ((uLq + ubL[None]) + (uRq + ubR[None]))
         vv = 0.5 * ((vLq + vbL[None]) + (vRq + vbR[None]))
-        dpl = opeL[None] * dLq
-        dpr = opeR[None] * dRq
+        dpl = (1.0 + muL[None]) * (fg.dpp_ref_face_q + dLq)   # traces carry δdp'
+        dpr = (1.0 + muR[None]) * (fg.dpp_ref_face_q + dRq)
         feu = jnp.where(uu * fg.nx[None] > 0.0, uu * dpl, uu * dpr)
         fev = jnp.where(vv * fg.ny[None] > 0.0, vv * dpl, vv * dpr)
         slmf_face = jnp.stack([jnp.sum(feu, 0), jnp.sum(fev, 0)])
@@ -71,9 +71,9 @@ def layer_mass_rhs(static, P: Precomputed, g: DeviceGeom, bc: BCs,
 
     ax, ay = avg.faces.x, avg.faces.y
     Sx, slmf_x = flux_dir(fdp.xl, fdp.xr, fu.xl, fu.xr, fv.xl, fv.xr,
-                          ax.ubL, ax.ubR, ax.vbL, ax.vbR, ax.opeL, ax.opeR, P.faces.x)
+                          ax.ubL, ax.ubR, ax.vbL, ax.vbR, ax.muL, ax.muR, P.faces.x)
     Sy, slmf_y = flux_dir(fdp.yl, fdp.yr, fu.yl, fu.yr, fv.yl, fv.yr,
-                          ay.ubL, ay.ubR, ay.vbL, ay.vbR, ay.opeL, ay.opeR, P.faces.y)
+                          ay.ubL, ay.ubR, ay.vbL, ay.vbR, ay.muL, ay.muR, P.faces.y)
     dp_advec = scatter_face_x(dp_advec, Sx, bc)
     dp_advec = scatter_face_y(dp_advec, Sy, bc)
     dp_advec = g.massinv * dp_advec
@@ -89,11 +89,13 @@ def apply_consistency(static, P: Precomputed, g: DeviceGeom, bc: BCs,
     consistency_mass_rhs (src/mod_create_rhs_mlswe.F90:80-101, 879-920,
     1036-1115). Returns updated q_df.
     """
-    one_plus_eta = jnp.sum(q_df[0], axis=0) / P.pbprime_df
-    dpprime_df = q_df[0] / one_plus_eta[None]              # (L, nodal)
+    # one_plus_eta - 1 from δ sums (exact at reference; docs/float32.md)
+    eta_t = (jnp.sum(q_df[0], axis=0) + P.sum_ref_residual) * P.one_over_pbprime_df
+    # δdp' = (δdp - ref·η̃)/(1+η̃)
+    dpprime_df = (q_df[0] - P.dpp_ref_df * eta_t[None]) / (1.0 + eta_t)[None]
 
-    # volume part
-    dpq = interp_n2q(g, dpprime_df)                        # (L, quad)
+    # volume part (weight needs the FULL dp')
+    dpq = P.dpp_ref_q + interp_n2q(g, dpprime_df)          # (L, quad)
     weight = dpq / P.pbprime[None]
     udp = weight * (avg.mfU - slmf[0])[None]
     vdp = weight * (avg.mfV - slmf[1])[None]
@@ -103,7 +105,9 @@ def apply_consistency(static, P: Precomputed, g: DeviceGeom, bc: BCs,
     fdp, _ = extract_faces(dpprime_df, bc)                 # scalar copy at walls
 
     def face_dir(dL, dR, slmf_f, fa, fg):
-        dLq, dRq = face_n2q(g.psiq, dL), face_n2q(g.psiq, dR)   # (L, F, nq)
+        # traces carry δdp'; the weights need the full dp'
+        dLq = fg.dpp_ref_face_q + face_n2q(g.psiq, dL)          # (L, F, nq)
+        dRq = fg.dpp_ref_face_q + face_n2q(g.psiq, dR)
         wL = dLq / fg.pbprime_face_L[None]
         wR = dRq / fg.pbprime_face_R[None]
         defU = (fa.fluxU - slmf_f[0])[None]
@@ -149,14 +153,18 @@ def layer_momentum_volume(static, P: Precomputed, g: DeviceGeom,
     L = static.nlayers
     al = alpha.reshape((L,) + (1,) * (qprime_df.ndim - 2))
 
-    # layer interfaces z_elv at nodal points (reference :321-325)
-    sq_ope_df = jnp.sqrt(avg.ope2_df)
-    dz = (al / grav) * (sq_ope_df[None] * qprime_df[0])     # (L, nodal)
-    # z interfaces: z[L] = zbot; z[k] = zbot + sum_{j>=k} dz_j  -> (L+1, nodal)
-    rev = jnp.cumsum(dz[::-1], axis=0)[::-1]
-    z_elv = jnp.concatenate([P.zbot_df[None] + rev, P.zbot_df[None]], axis=0)
-    # gradient of each interface at quad points (nodal field -> quad gradient)
-    gz_x, gz_y = grad_n2q(g, z_elv)                         # (L+1, quad)
+    # ---- δ-form (docs/float32.md): interface-elevation perturbation ζ ----
+    # sq_ope_df - 1 in conditioned form; sq_ope_df = sqrt(ope_df^2)
+    s_df = avg.mu2_df / (1.0 + jnp.sqrt(1.0 + avg.mu2_df))
+    sq_ope_df = 1.0 + s_df
+    ddpp_df = qprime_df[0]                                  # stored as δdp'
+    # δdz = (α/g)(sq_ope·dp' - dp'_ref), conditioned; ζ[L] = 0 (static zbot)
+    ddz = (al / grav) * (s_df[None] * P.dpp_ref_df + sq_ope_df[None] * ddpp_df)
+    rev = jnp.cumsum(ddz[::-1], axis=0)[::-1]
+    zeta = jnp.concatenate([rev, jnp.zeros_like(rev[:1])], axis=0)  # (L+1, nodal)
+    gze_x, gze_y = grad_n2q(g, zeta)                        # ζ gradients (L+1, quad)
+    gz_x = P.gz_ref[0] + gze_x                              # full interface gradients
+    gz_y = P.gz_ref[1] + gze_y
 
     qp = interp_n2q(g, qprime_df)                           # (3, L, quad)
     udp_q = interp_n2q(g, q_df[1])                          # (L, quad)
@@ -164,12 +172,18 @@ def layer_momentum_volume(static, P: Precomputed, g: DeviceGeom,
     temp_uu = jnp.abs(udp_q) + _EPS1
     temp_vv = jnp.abs(vdp_q) + _EPS1
 
-    sq_ope = jnp.sqrt(avg.ope2)
-    p_lower = jnp.cumsum(sq_ope[None] * qp[0], axis=0)      # p_tmp(k+1)
-    p_upper = p_lower - sq_ope[None] * qp[0]                # p_tmp(k)
-    H_tmp = 0.5 * al.reshape((L,) + (1,) * (p_lower.ndim - 1)) * (p_lower**2 - p_upper**2)
+    # π = p_tmp - P_ref, conditioned cumsum (p_tmp = cumsum sq_ope*dp')
+    s_q = avg.mu2 / (1.0 + jnp.sqrt(1.0 + avg.mu2))
+    sq_ope = 1.0 + s_q
+    ddpp_q = qp[0]                                          # δ at quad
+    dinc = s_q[None] * P.dpp_ref_q + sq_ope[None] * ddpp_q
+    pi_l = jnp.cumsum(dinc, axis=0)
+    pi_u = pi_l - dinc
+    alq = alpha.reshape((L,) + (1,) * (pi_l.ndim - 1))
+    dH_tmp = alq * (P.P_ref_q[1:] * pi_l - P.P_ref_q[:-1] * pi_u
+                    + 0.5 * (pi_l**2 - pi_u**2))            # H_tmp - Hk_ref
 
-    dp = qp[0] * avg.ope[None]
+    dp = (P.dpp_ref_q + qp[0]) * (1.0 + avg.mu[None])
     u = qp[1] + avg.ub[None]
     v = qp[2] + avg.vb[None]
     u_udp = dp * u * u
@@ -187,14 +201,17 @@ def layer_momentum_volume(static, P: Precomputed, g: DeviceGeom,
     var_vu = uv_dp + wv * uv_def[None]     # u_vdp(2,:)
     var_vv = v_vdp + wv * vv_def[None]
 
-    # pressure-force weight: sum_k H_k matches H_ave (reference :412-417)
-    sumH = jnp.sum(H_tmp, 0)
-    weight = jnp.where(sumH > 0.0, avg.H / sumH, 1.0)
-    Hq = H_tmp * weight[None]
+    # pressure-force weight (reference :412-417): weight-1 in δ-form
+    sum_dH = jnp.sum(dH_tmp, 0)
+    sumH_full = P.H_bcl_ref + sum_dH
+    w1 = jnp.where(sumH_full > 0.0, (avg.dH - sum_dH) / sumH_full, 0.0)
+    # Hq - Hk_ref = dH_tmp + (Hk_ref + dH_tmp)*(weight-1)
+    dHq = dH_tmp + (P.Hk_ref_q + dH_tmp) * w1[None]
 
     # wind/bottom stress vertical distribution (reference :424-431)
-    pp_lower = jnp.cumsum(qp[0], axis=0)
-    pp_upper = pp_lower - qp[0]
+    dpp_full = P.dpp_ref_q + qp[0]
+    pp_lower = jnp.cumsum(dpp_full, axis=0)
+    pp_upper = pp_lower - dpp_full
     Ps, Pb = static.Pstress, static.Pbstress
     temp1 = (jnp.minimum(pp_lower, Ps) - jnp.minimum(pp_upper, Ps)) / Ps
     tau_u = temp1 * P.tau_wind[0][None]
@@ -202,13 +219,17 @@ def layer_momentum_volume(static, P: Precomputed, g: DeviceGeom,
     tempbot = (jnp.minimum(Pb, P.pbprime[None] - pp_lower)
                - jnp.minimum(Pb, P.pbprime[None] - pp_upper)) / Pb
 
+    # interface-slope source, dynamic part only (static P_ref·gz_ref in
+    # P.bcl_rhs_ref):  p·gz - P_ref·gz_ref = P_ref·gζ + π·gz
     source_x = grav * (tau_u - tempbot * avg.tbU[None]
-                       + p_upper * gz_x[:-1] - p_lower * gz_x[1:])
+                       + P.P_ref_q[:-1] * gze_x[:-1] + pi_u * gz_x[:-1]
+                       - P.P_ref_q[1:] * gze_x[1:] - pi_l * gz_x[1:])
     source_y = grav * (tau_v - tempbot * avg.tbV[None]
-                       + p_upper * gz_y[:-1] - p_lower * gz_y[1:])
+                       + P.P_ref_q[:-1] * gze_y[:-1] + pi_u * gz_y[:-1]
+                       - P.P_ref_q[1:] * gze_y[1:] - pi_l * gz_y[1:])
 
-    rhs_u = scatter_volume(g, Fx=Hq + var_uu, Fy=var_uv, Fs=source_x)
-    rhs_v = scatter_volume(g, Fx=var_vu, Fy=Hq + var_vv, Fs=source_y)
+    rhs_u = scatter_volume(g, Fx=dHq + var_uu, Fy=var_uv, Fs=source_x)
+    rhs_v = scatter_volume(g, Fx=var_vu, Fy=dHq + var_vv, Fs=source_y)
     return jnp.stack([rhs_u, rhs_v])
 
 
@@ -224,15 +245,15 @@ def layer_momentum_fluxes(static, P: Precomputed, g: DeviceGeom, bc: BCs,
     alpha = P.alpha
     fdp, fu, fv = qprime_faces
 
-    def one_dir(dL, dR, uL, uR, vL, vR, fa, fg, Hface_ave):
+    def one_dir(dL, dR, uL, uR, vL, vR, fa, fg):
         al = alpha.reshape((L, 1, 1, 1))
         dLq, dRq = face_n2q(g.psiq, dL), face_n2q(g.psiq, dR)   # (L, F, nq)
         uLq, uRq = face_n2q(g.psiq, uL), face_n2q(g.psiq, uR)
         vLq, vRq = face_n2q(g.psiq, vL), face_n2q(g.psiq, vR)
         nx, ny = fg.nx[None], fg.ny[None]
 
-        dpl = fa.opeL[None] * dLq
-        dpr = fa.opeR[None] * dRq
+        dpl = (1.0 + fa.muL[None]) * (fg.dpp_ref_face_q + dLq)
+        dpr = (1.0 + fa.muR[None]) * (fg.dpp_ref_face_q + dRq)
         ul = uLq + fa.ubL[None]
         ur = uRq + fa.ubR[None]
         vl = vLq + fa.vbL[None]
@@ -262,90 +283,152 @@ def layer_momentum_fluxes(static, P: Precomputed, g: DeviceGeom, bc: BCs,
         vdp_flux1 = vdp_flux1 + jnp.where((vu_def * fg.nx)[None] > 0.0, wl_v, wr_v) * vu_def[None]
         vdp_flux2 = vdp_flux2 + jnp.where((vv_def * fg.ny)[None] > 0.0, wl_v, wr_v) * vv_def[None]
 
-        # ---- H_face: Higdon layer-overlap reconstruction (:627-707) ----
-        ope_l = jnp.sqrt(fa.ope2L)[None]
-        ope_r = jnp.sqrt(fa.ope2R)[None]
-        pf_L = jnp.concatenate([jnp.zeros_like(dLq[:1]), jnp.cumsum(ope_l * dLq, 0)], 0)
-        pf_R = jnp.concatenate([jnp.zeros_like(dRq[:1]), jnp.cumsum(ope_r * dRq, 0)], 0)
-        opee = jnp.sqrt(fa.opee2)[None]
-        pe_L = jnp.concatenate([jnp.zeros_like(dLq[:1]), jnp.cumsum(opee * dLq, 0)], 0)
-        pe_R = jnp.concatenate([jnp.zeros_like(dRq[:1]), jnp.cumsum(opee * dRq, 0)], 0)
-
+        # ---- H_face: Higdon layer-overlap reconstruction (:627-707) ------
+        # δ-form throughout (docs/float32.md): every quantity below is the
+        # perturbation of the reference expression from its static value;
+        # at the exact reference state every term is exactly zero in fp
+        # arithmetic, so no static bias enters. The static reference face
+        # flux (±n·Hk_ref_edge) lives in P.bcl_rhs_ref.
         a_g = (alpha / grav).reshape((L, 1, 1, 1))
         g_a = (grav / alpha).reshape((L, 1, 1, 1))
+        Pe = fg.P_ref_edge                       # (L+1, F, nq) ref pressures
+        Zr = fg.z_ref_face                       # (L+1, F, nq) ref elevations
+        dref = fg.dpp_ref_face_q                 # (L, F, nq) ref dp'
 
-        def z_interfaces(zb, thick):
-            rev = jnp.cumsum(thick[::-1], axis=0)[::-1]
-            return jnp.concatenate([zb[None] + rev, zb[None]], axis=0)  # (L+1, F, nq)
+        # conditioned (ope - 1) factors:  sqrt(1+mu2) - 1
+        s_l = (fa.mu2L / (1.0 + jnp.sqrt(1.0 + fa.mu2L)))[None]
+        s_r = (fa.mu2R / (1.0 + jnp.sqrt(1.0 + fa.mu2R)))[None]
+        s_e = (fa.mue2 / (1.0 + jnp.sqrt(1.0 + fa.mue2)))[None]
 
-        zf_L = z_interfaces(fg.zbot_face_L, a_g * (ope_l * dLq))
-        zf_R = z_interfaces(fg.zbot_face_R, a_g * (ope_r * dRq))
-        ze_L = z_interfaces(fg.zbot_face_L, a_g * (opee * dLq))
-        ze_R = z_interfaces(fg.zbot_face_R, a_g * (opee * dRq))
+        ddL = dLq                                # traces carry δdp' already
+        ddR = dRq
 
-        def overlap_H(p_edge_src, z_edge_src, z_edge_tgt):
-            """H from the opposite side by layer intersection (:668-684).
+        def pi_int(s_fac, dd):
+            """Interface-pressure perturbation π = p - P_ref for the cumsum
+            p = [0, cumsum((1+s)·d)]; conditioned increments."""
+            inc = s_fac * dref + (1.0 + s_fac) * dd
+            cs = jnp.cumsum(inc, 0)
+            return jnp.concatenate([jnp.zeros_like(cs[:1]), cs], 0)  # (L+1,F,nq)
 
-            target layer k from source layers ktemp: returns (L, F, nq).
+        def zeta_int(s_fac, dd):
+            """Interface-elevation perturbation ζ = z - z_ref (ζ[L]=0)."""
+            dthick = a_g * (s_fac * dref + (1.0 + s_fac) * dd)
+            rev = jnp.cumsum(dthick[::-1], 0)[::-1]
+            return jnp.concatenate([rev, jnp.zeros_like(rev[:1])], 0)
+
+        piF_L, piF_R = pi_int(s_l, ddL), pi_int(s_r, ddR)
+        piE_L, piE_R = pi_int(s_e, ddL), pi_int(s_e, ddR)
+        zF_L, zF_R = zeta_int(s_l, ddL), zeta_int(s_r, ddR)
+        zE_L, zE_R = zeta_int(s_e, ddL), zeta_int(s_e, ddR)
+
+        def dH_int(pi):
+            """δ of the hydrostatic ½α(p[k+1]²-p[k]²) given interface π."""
+            return al * (Pe[1:] * pi[1:] - Pe[:-1] * pi[:-1]
+                         + 0.5 * (pi[1:] ** 2 - pi[:-1] ** 2))
+
+        dH_plus = dH_int(piE_L)                  # own-side δH (L side)
+        dH_minus = dH_int(piE_R)
+
+        Dz_ref = Zr[:-1] - Zr[1:]                # (L, F, nq) ref layer heights
+        Vref = Pe[1:] + Pe[:-1]                  # (L, F, nq)
+        eye = jnp.eye(L, dtype=bool).reshape(L, L, 1, 1, 1)
+
+        def overlap_dH(pi_src, zeta_src, zeta_tgt):
+            """δ of the layer-intersection H-from-source (:668-684).
+
+            target layer k (axis 0) from source layers kt (axis 1).
+            The intersection length min(tops) - max(bots) equals the MINIMUM
+            of the four pairwise (top_i - bot_j) differences; each candidate
+            is computed as (exact reference-table part) + (ζ perturbation),
+            and the perturbed overlap length dz - Dz_ref_overlap is carried
+            through the branch select, so no eps·|z_ref| cancellation noise
+            ever forms (docs/float32.md).
             """
-            # broadcast (k, ktemp, F, nq)
-            z_top = jnp.minimum(z_edge_src[None, :-1], z_edge_tgt[:-1, None])
-            z_bot = jnp.maximum(z_edge_src[None, 1:], z_edge_tgt[1:, None])
-            dz = z_top - z_bot
-            mask = dz > 0.0
-            p_low = p_edge_src[None, 1:]
-            z_low = z_edge_src[None, 1:]
-            ga = g_a[None]
-            p_bot = p_low - ga * (z_bot - z_low)
-            p_top = p_low - ga * (z_top - z_low)
-            contrib = 0.5 * alpha.reshape((1, L, 1, 1, 1)) * (p_bot**2 - p_top**2)
-            return jnp.sum(jnp.where(mask, contrib, 0.0), axis=1)
+            zs_u, zs_l = zeta_src[None, :-1], zeta_src[None, 1:]   # source kt
+            zt_u, zt_l = zeta_tgt[:-1, None], zeta_tgt[1:, None]   # target k
+            # 4 candidates (ref part, ζ part): s_top/t_top minus s_bot/t_bot
+            R1 = jnp.broadcast_to(Dz_ref[None], eye.shape[:2] + Dz_ref.shape[1:])
+            p1 = jnp.broadcast_to(zs_u - zs_l, R1.shape)
+            R2 = jnp.broadcast_to(Dz_ref[:, None], R1.shape)
+            p2 = jnp.broadcast_to(zt_u - zt_l, R1.shape)
+            R3 = jnp.broadcast_to(Zr[None, :-1] - Zr[1:, None], R1.shape)
+            p3 = jnp.broadcast_to(zs_u - zt_l, R1.shape)
+            R4 = jnp.broadcast_to(Zr[:-1, None] - Zr[None, 1:], R1.shape)
+            p4 = jnp.broadcast_to(zt_u - zs_l, R1.shape)
 
-        H_plus = 0.5 * al * (pe_L[1:] ** 2 - pe_L[:-1] ** 2)
-        H_minus_from_R = overlap_H(pe_R, ze_R, ze_L)
-        HfL = 0.5 * (H_plus + H_minus_from_R)
-        H_minus = 0.5 * al * (pe_R[1:] ** 2 - pe_R[:-1] ** 2)
-        H_plus_from_L = overlap_H(pe_L, ze_L, ze_R)
-        HfR = 0.5 * (H_minus + H_plus_from_L)
+            def take_min(Ra, pa, Rb, pb):
+                a_lt = (Ra + pa) < (Rb + pb)
+                return jnp.where(a_lt, Ra, Rb), jnp.where(a_lt, pa, pb)
+
+            Rm, pm = take_min(*take_min(R1, p1, R2, p2), *take_min(R3, p3, R4, p4))
+            Dzov = jnp.minimum(jnp.minimum(R1, R2), jnp.minimum(R3, R4))
+            ddz_ov = pm + (Rm - Dzov)            # dz - Dzov, conditioned
+            mask = (Dzov + ddz_ov) > 0.0
+
+            ga_s = g_a[None]                     # per source layer kt
+            # u - U with U = ga·max(Dzov, 0) (ref overlap; >0 only on-diagonal)
+            umU = ga_s * (ddz_ov + jnp.minimum(Dzov, 0.0))
+            U = jnp.where(Dzov > 0.0, ga_s * Dzov, 0.0)
+            # π at the (clamped) bottom of the intersection, source side:
+            # z_bot - z_low_src = relu(-A_bot), A_bot conditioned
+            A_bot = (Zr[None, 1:] - Zr[1:, None]) + (zs_l - zt_l)
+            pi_bot = pi_src[None, 1:] - ga_s * jnp.maximum(-A_bot, 0.0)
+            # v = p_bot + p_top anchored per pair: diagonal vs V_ref (so
+            # U·(v-V) is exact), off-diagonal vs 2·P_ref[kt+1] (U=0 there)
+            vmV = 2.0 * pi_bot - umU
+            v = jnp.where(eye, Vref[None], 2.0 * Pe[None, 1:]) + vmV
+            al_s = alpha.reshape((1, L, 1, 1, 1))
+            d_contrib = 0.5 * al_s * (umU * v + U * vmV)
+            # mask=False: contribution is 0, so δ = -reference piece (diag only)
+            d_contrib = jnp.where(mask, d_contrib, -0.5 * al_s * U * Vref[None])
+            return jnp.sum(d_contrib, axis=1)    # (L, F, nq)
+
+        dHfL = 0.5 * (dH_plus + overlap_dH(piE_R, zE_R, zE_L))
+        dHfR = 0.5 * (dH_minus + overlap_dH(piE_L, zE_L, zE_R))
 
         # wall faces (er==-4): one-sided hydrostatic H (:710-719)
-        HfL_wall = 0.5 * al * (pf_L[1:] ** 2 - pf_L[:-1] ** 2)
-        HfR_wall = 0.5 * al * (pf_R[1:] ** 2 - pf_R[:-1] ** 2)
         wall = fg.wall4[None]
-        HfL = jnp.where(wall > 0.5, HfL_wall, HfL)
-        HfR = jnp.where(wall > 0.5, HfR_wall, HfR)
+        dHfL = jnp.where(wall > 0.5, dH_int(piF_L), dHfL)
+        dHfR = jnp.where(wall > 0.5, dH_int(piF_R), dHfR)
 
-        # interface corrections at interior faces (:721-738)
+        # interface corrections at interior faces (:721-738):
+        # Hc = ½α[(pf+pinc)² - pf²] = ½α·pinc·(2pf + pinc); pinc = (g/α)(ζf-ζe)
+        # is already perturbation-sized (zero at reference).
         if L > 1:
-            # p_inc_k = g/alpha_k (z_face[k+1] - z_edge[k+1]), k=1..L-1
-            p_inc_L = g_a[:-1] * (zf_L[1:L] - ze_L[1:L])
-            Hc_L = 0.5 * al[:-1] * ((pf_L[1:L] + p_inc_L) ** 2 - pf_L[1:L] ** 2)
-            p_inc_R = g_a[:-1] * (zf_R[1:L] - ze_R[1:L])
-            Hc_R = 0.5 * al[:-1] * ((pf_R[1:L] + p_inc_R) ** 2 - pf_R[1:L] ** 2)
-            zpad = jnp.zeros_like(Hc_L[:1])
-            corr_L = jnp.concatenate([-Hc_L, zpad], 0) + jnp.concatenate([zpad, Hc_L], 0)
-            corr_R = jnp.concatenate([-Hc_R, zpad], 0) + jnp.concatenate([zpad, Hc_R], 0)
-            HfL = jnp.where(wall > 0.5, HfL, HfL + corr_L)
-            HfR = jnp.where(wall > 0.5, HfR, HfR + corr_R)
+            def corr(piF, zF, zE):
+                p_inc = g_a[:-1] * (zF[1:L] - zE[1:L])
+                pf_full = Pe[1:L] + piF[1:L]
+                Hc = 0.5 * al[:-1] * p_inc * (2.0 * pf_full + p_inc)
+                zpad = jnp.zeros_like(Hc[:1])
+                return (jnp.concatenate([-Hc, zpad], 0)
+                        + jnp.concatenate([zpad, Hc], 0))
 
-        # match the vertical sum to the barotropic average (:759-773)
-        sL = jnp.sum(HfL, 0)
-        HfL = HfL * jnp.where(sL > 0.0, Hface_ave / sL, 1.0)[None]
-        sR = jnp.sum(HfR, 0)
-        HfR = HfR * jnp.where(sR > 0.0, Hface_ave / sR, 1.0)[None]
+            dHfL = jnp.where(wall > 0.5, dHfL, dHfL + corr(piF_L, zF_L, zE_L))
+            dHfR = jnp.where(wall > 0.5, dHfR, dHfR + corr(piF_R, zF_R, zE_R))
+
+        # match the vertical sum to the barotropic average (:759-773):
+        # (weight-1) in δ-form against the shared Hedge_ref
+        sdL = jnp.sum(dHfL, 0)
+        sL_full = fg.Hedge_ref + sdL
+        w1L = jnp.where(sL_full > 0.0, (fa.dH - sdL) / sL_full, 0.0)
+        dHfL = dHfL + (fg.Hk_ref_edge + dHfL) * w1L[None]
+        sdR = jnp.sum(dHfR, 0)
+        sR_full = fg.Hedge_ref + sdR
+        w1R = jnp.where(sR_full > 0.0, (fa.dH - sdR) / sR_full, 0.0)
+        dHfR = dHfR + (fg.Hk_ref_edge + dHfR) * w1R[None]
 
         flux_x = nx * udp_flux1 + ny * udp_flux2
         flux_y = nx * vdp_flux1 + ny * vdp_flux2
-        SuL = face_quad_scatter(g.psiq, fg.jac, nx * HfL + flux_x)
-        SuR = face_quad_scatter(g.psiq, fg.jac, nx * HfR + flux_x)
-        SvL = face_quad_scatter(g.psiq, fg.jac, ny * HfL + flux_y)
-        SvR = face_quad_scatter(g.psiq, fg.jac, ny * HfR + flux_y)
+        SuL = face_quad_scatter(g.psiq, fg.jac, nx * dHfL + flux_x)
+        SuR = face_quad_scatter(g.psiq, fg.jac, nx * dHfR + flux_x)
+        SvL = face_quad_scatter(g.psiq, fg.jac, ny * dHfL + flux_y)
+        SvR = face_quad_scatter(g.psiq, fg.jac, ny * dHfR + flux_y)
         return SuL, SuR, SvL, SvR
 
     SuLx, SuRx, SvLx, SvRx = one_dir(fdp.xl, fdp.xr, fu.xl, fu.xr, fv.xl, fv.xr,
-                                     avg.faces.x, P.faces.x, avg.faces.x.H)
+                                     avg.faces.x, P.faces.x)
     SuLy, SuRy, SvLy, SvRy = one_dir(fdp.yl, fdp.yr, fu.yl, fu.yr, fv.yl, fv.yr,
-                                     avg.faces.y, P.faces.y, avg.faces.y.H)
+                                     avg.faces.y, P.faces.y)
 
     rhs_u, rhs_v = rhs_mom[0], rhs_mom[1]
     rhs_u = scatter_face_x(rhs_u, SuLx, bc, S_right=SuRx)
@@ -372,6 +455,8 @@ def layer_momentum_rhs(static, P, g, bc, avg, coup, qprime_df, q_df, qprime_face
 
     rhs_mom = layer_momentum_volume(static, P, g, avg, qprime_df, q_df)
     rhs_mom = layer_momentum_fluxes(static, P, g, bc, avg, qprime_faces, rhs_mom)
+    # static reference terms dropped by the δ-form kernels (docs/float32.md)
+    rhs_mom = rhs_mom + P.bcl_rhs_ref
     return g.massinv * rhs_mom + rhs_visc
 
 
@@ -389,7 +474,7 @@ def rhs_layer_shear_stress(static, P: Precomputed, g: DeviceGeom, q_df):
     """
     grav = static.gravity
     L = static.nlayers
-    dp = interp_n2q(g, q_df[0])          # (L, quad)
+    dp = P.dpp_ref_q + interp_n2q(g, q_df[0])   # q_df[0] carries δdp
     udp = interp_n2q(g, q_df[1])
     vdp = interp_n2q(g, q_df[2])
 
@@ -436,37 +521,40 @@ def rhs_layer_shear_stress(static, P: Precomputed, g: DeviceGeom, q_df):
 # velocity splitting / recombination
 # ---------------------------------------------------------------------------
 
-def extract_velocity(q_df, qb_df):
+def extract_velocity(P, q_df, qb_df):
     """Layer velocities adjusted so their mass-weighted vertical mean equals
     the barotropic velocity (reference extract_velocity,
     src/mod_layer_terms.F90:272-320). Returns (u, v) per layer (L, nodal)."""
-    u = q_df[1] / q_df[0]
-    v = q_df[2] / q_df[0]
-    ubar = jnp.sum(u * q_df[0], 0) / qb_df[0]
-    vbar = jnp.sum(v * q_df[0], 0) / qb_df[0]
+    dp = P.dpp_ref_df + q_df[0]
+    u = q_df[1] / dp
+    v = q_df[2] / dp
+    ubar = jnp.sum(u * dp, 0) / qb_df[0]
+    vbar = jnp.sum(v * dp, 0) / qb_df[0]
     ok = qb_df[0] > 0.0
     u = jnp.where(ok[None], u - ubar[None] + (qb_df[2] / qb_df[0])[None], 0.0)
     v = jnp.where(ok[None], v - vbar[None] + (qb_df[3] / qb_df[0])[None], 0.0)
     return u, v
 
 
-def velocity_df(q_df, qb_df):
+def velocity_df(P, q_df, qb_df):
     """In-place velocity smoothing of momentum (reference velocity_df,
     src/mod_layer_terms.F90:139-196)."""
-    u, v = extract_velocity(q_df, qb_df)
-    return q_df.at[1].set(u * q_df[0]).at[2].set(v * q_df[0])
+    u, v = extract_velocity(P, q_df, qb_df)
+    dp = P.dpp_ref_df + q_df[0]
+    return q_df.at[1].set(u * dp).at[2].set(v * dp)
 
 
 def evaluate_bcl(static, P: Precomputed, bc: BCs, q_df, qprime_df, qb_df):
     """Recompute primes + momentum smoothing + face extraction after the
     predictor (reference evaluate_bcl, src/mod_layer_terms.F90:198-238).
     Returns (q_df, qprime_df, qprime_faces)."""
-    u, v = extract_velocity(q_df, qb_df)
-    q_df = q_df.at[1].set(u * q_df[0]).at[2].set(v * q_df[0])
-    one_plus_eta = jnp.sum(q_df[0], 0) / P.pbprime_df
-    u, v = extract_velocity(q_df, qb_df)
+    u, v = extract_velocity(P, q_df, qb_df)
+    dp = P.dpp_ref_df + q_df[0]
+    q_df = q_df.at[1].set(u * dp).at[2].set(v * dp)
+    eta_t = (jnp.sum(q_df[0], 0) + P.sum_ref_residual) * P.one_over_pbprime_df
+    u, v = extract_velocity(P, q_df, qb_df)
     qprime_df = jnp.stack([
-        q_df[0] / one_plus_eta[None],
+        (q_df[0] - P.dpp_ref_df * eta_t[None]) / (1.0 + eta_t)[None],
         u - (qb_df[2] / qb_df[0])[None],
         v - (qb_df[3] / qb_df[0])[None],
     ])
@@ -474,12 +562,13 @@ def evaluate_bcl(static, P: Precomputed, bc: BCs, q_df, qprime_df, qb_df):
     return q_df, qprime_df, qprime_faces
 
 
-def evaluate_bcl_v1(q_df, qprime_df, qb_df):
+def evaluate_bcl_v1(P, q_df, qprime_df, qb_df):
     """Corrector variant: update velocities/primes only, thickness prime kept
     (reference evaluate_bcl_v1, src/mod_layer_terms.F90:240-270)."""
-    u, v = extract_velocity(q_df, qb_df)
-    q_df = q_df.at[1].set(u * q_df[0]).at[2].set(v * q_df[0])
-    u, v = extract_velocity(q_df, qb_df)
+    u, v = extract_velocity(P, q_df, qb_df)
+    dp = P.dpp_ref_df + q_df[0]
+    q_df = q_df.at[1].set(u * dp).at[2].set(v * dp)
+    u, v = extract_velocity(P, q_df, qb_df)
     qprime_df = qprime_df.at[1].set(u - (qb_df[2] / qb_df[0])[None])
     qprime_df = qprime_df.at[2].set(v - (qb_df[3] / qb_df[0])[None])
     return q_df, qprime_df

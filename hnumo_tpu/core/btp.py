@@ -31,15 +31,15 @@ def zero_btp_averages(static, g: DeviceGeom, dtype) -> BtpAverages:
     def zface(shape_f):
         zf = jnp.zeros(shape_f + (nq,), dtype)
         zfd = jnp.zeros((4,) + shape_f + (ngl,), dtype)
-        return BtpFaceAvg(H=zf, QuU=zf, QuV=zf, QvU=zf, QvV=zf,
-                          opeL=zf, opeR=zf, ope2L=zf, ope2R=zf,
-                          fluxU=zf, fluxV=zf, opee2=zf,
+        return BtpFaceAvg(dH=zf, QuU=zf, QuV=zf, QvU=zf, QvV=zf,
+                          muL=zf, muR=zf, mu2L=zf, mu2R=zf,
+                          fluxU=zf, fluxV=zf, mue2=zf,
                           ubL=zf, ubR=zf, vbL=zf, vbR=zf, gvL=zfd, gvR=zfd)
 
     return BtpAverages(
-        H=zq, Qu=zq, Qv=zq, Quv=zq, ope=zq, ope2=zq, ub=zq, vb=zq,
+        dH=zq, Qu=zq, Qv=zq, Quv=zq, mu=zq, mu2=zq, ub=zq, vb=zq,
         mfU=zq, mfV=zq, tbU=zq, tbV=zq,
-        ope2_df=zn, ub_df=zn, vb_df=zn,
+        mu2_df=zn, ub_df=zn, vb_df=zn,
         graduvb=jnp.zeros((4, ney, nex, ngl, ngl), dtype),
         faces=Pair(x=zface((ney, nex + 1)), y=zface((ney + 1, nex))),
     )
@@ -68,9 +68,9 @@ def btp_volume_rhs(static, P: Precomputed, g: DeviceGeom, coup: CouplingFields,
     grav = static.gravity
     qbq = interp_n2q(g, qb_df)                     # (4, quad)
     dp, dpp, udp, vdp = qbq[0], qbq[1], qbq[2], qbq[3]
-    # bottom-layer primes
+    # bottom-layer primes (channel 0 carries δdp'; full needed for friction)
     qpl = interp_n2q(g, qprime_df[:, -1])          # (3, quad)
-    pp, up, vp = qpl[0], qpl[1], qpl[2]
+    pp, up, vp = P.dpp_ref_q[-1] + qpl[0], qpl[1], qpl[2]
 
     ub = udp / dp
     vb = vdp / dp
@@ -88,27 +88,32 @@ def btp_volume_rhs(static, P: Precomputed, g: DeviceGeom, coup: CouplingFields,
         tb_u = jnp.zeros_like(dp)
         tb_v = jnp.zeros_like(dp)
 
+    # δ-form pressure/source terms (docs/float32.md): the static parts
+    # (H_bcl_ref flux + g*pbprime*grad(zb) source + reference edge fluxes)
+    # live in the precomputed P.btp_rhs_ref vector added by create_rhs_btp.
     f = P.coriolis_quad
-    sc_x = f * vdp + grav * (P.tau_wind[0] - tb_u) - grav * dp * P.grad_zbot_quad[0]
-    sc_y = -f * udp + grav * (P.tau_wind[1] - tb_v) - grav * dp * P.grad_zbot_quad[1]
+    sc_x = f * vdp + grav * (P.tau_wind[0] - tb_u) - grav * dpp * P.grad_zbot_quad[0]
+    sc_y = -f * udp + grav * (P.tau_wind[1] - tb_v) - grav * dpp * P.grad_zbot_quad[1]
 
-    ope = 1.0 + dpp * P.one_over_pbprime
-    Hq = ope**2 * coup.H_bcl
+    mu = dpp * P.one_over_pbprime              # ope - 1, conditioned
+    mu2 = mu * (2.0 + mu)                      # ope^2 - 1
+    ope = 1.0 + mu
+    dHq = coup.dH_bcl + mu2 * (P.H_bcl_ref + coup.dH_bcl)   # Hq - H_bcl_ref
     qu = ub * udp + ope * coup.Q_uu_dp
     quv = ub * vdp + ope * coup.Q_uv_dp
     qv = vb * vdp + ope * coup.Q_vv_dp
 
     rhs1 = scatter_volume(g, Fx=udp, Fy=vdp)
-    rhs2 = scatter_volume(g, Fx=Hq + qu, Fy=quv, Fs=sc_x)
-    rhs3 = scatter_volume(g, Fx=quv, Fy=Hq + qv, Fs=sc_y)
+    rhs2 = scatter_volume(g, Fx=dHq + qu, Fy=quv, Fs=sc_x)
+    rhs3 = scatter_volume(g, Fx=quv, Fy=dHq + qv, Fs=sc_y)
     rhs = jnp.stack([rhs1, rhs2, rhs3])
 
-    avg_inc = dict(H=Hq, Qu=qu, Qv=qv, Quv=quv, tbU=tb_u, tbV=tb_v,
-                   ope=ope, ope2=ope**2, mfU=udp, mfV=vdp, ub=ub, vb=vb)
+    avg_inc = dict(dH=dHq, Qu=qu, Qv=qv, Quv=quv, tbU=tb_u, tbV=tb_v,
+                   mu=mu, mu2=mu2, mfU=udp, mfV=vdp, ub=ub, vb=vb)
     return rhs, avg_inc
 
 
-def _face_flux_dir(static, fg, Qe_uu, Qe_uv, Qe_vv, He, traces, psiq):
+def _face_flux_dir(static, fg, Qe_uu, Qe_uv, Qe_vv, dHe, traces, psiq):
     """Barotropic face flux kernel for one face direction.
 
     Reference creat_btp_fluxes_qdf (src/mod_rhs_btp.F90:211-364).
@@ -123,7 +128,9 @@ def _face_flux_dir(static, fg, Qe_uu, Qe_uv, Qe_vv, He, traces, psiq):
     pU_R = -(nx * qbrq[2] + ny * qbrq[3])
     pbpert_edge = (fg.coeff_pbpert_L * qblq[1] + fg.coeff_pbpert_R * qbrq[1]
                    + fg.coeff_pbub_LR * (pU_L + pU_R))
-    ope_edge = 1.0 + pbpert_edge * fg.one_over_pbprime_edge
+    mue = pbpert_edge * fg.one_over_pbprime_edge    # ope_edge - 1
+    mue2 = mue * (2.0 + mue)                        # ope_edge^2 - 1
+    ope_edge = 1.0 + mue
 
     flux_edge_x = (fg.coeff_mass_pbub_L * qblq[2] + fg.coeff_mass_pbub_R * qbrq[2]
                    + fg.coeff_mass_pbpert_LR * nx * (qblq[1] - qbrq[1]))
@@ -137,7 +144,8 @@ def _face_flux_dir(static, fg, Qe_uu, Qe_uv, Qe_vv, He, traces, psiq):
     quv = 0.5 * (vl * qblq[2] + vr * qbrq[2]) + ope_edge * Qe_uv
     qvu = 0.5 * (ul * qblq[3] + ur * qbrq[3]) + ope_edge * Qe_uv
     qvv = 0.5 * (vl * qblq[3] + vr * qbrq[3]) + ope_edge * Qe_vv
-    H_face = ope_edge**2 * He
+    # δ-form: H_face - Hedge_ref; static part in P.btp_rhs_ref (create_rhs_btp)
+    dH_face = dHe + mue2 * (fg.Hedge_ref + dHe)
 
     # one-sided reference pb' interpolated from nodal face values (:257-258)
     pbl = face_n2q(psiq, fg.pbprime_df_face_L)
@@ -149,17 +157,19 @@ def _face_flux_dir(static, fg, Qe_uu, Qe_uv, Qe_vv, He, traces, psiq):
     flux_x = nx * quu + ny * quv - dispu
     flux_y = nx * qvu + ny * qvv - dispv
     flux = nx * flux_edge_x + ny * flux_edge_y
-    H_kx, H_ky = nx * H_face, ny * H_face
+    H_kx, H_ky = nx * dH_face, ny * dH_face
 
     S1 = face_quad_scatter(psiq, fg.jac, flux)
     S2 = face_quad_scatter(psiq, fg.jac, H_kx + flux_x)
     S3 = face_quad_scatter(psiq, fg.jac, H_ky + flux_y)
     S = jnp.stack([S1, S2, S3])
 
-    inc = dict(H=H_face, QuU=quu, QuV=quv, QvU=qvu, QvV=qvv,
-               opeL=1.0 + qblq[1] / pbl, opeR=1.0 + qbrq[1] / pbr,
-               ope2L=(1.0 + qblq[1] / pbl) ** 2, ope2R=(1.0 + qbrq[1] / pbr) ** 2,
-               fluxU=flux_edge_x, fluxV=flux_edge_y, opee2=ope_edge**2,
+    muL = qblq[1] / pbl
+    muR = qbrq[1] / pbr
+    inc = dict(dH=dH_face, QuU=quu, QuV=quv, QvU=qvu, QvV=qvv,
+               muL=muL, muR=muR,
+               mu2L=muL * (2.0 + muL), mu2R=muR * (2.0 + muR),
+               fluxU=flux_edge_x, fluxV=flux_edge_y, mue2=mue2,
                ubL=ul, ubR=ur, vbL=vl, vbR=vr)
     return S, inc
 
@@ -226,13 +236,14 @@ def create_rhs_btp(static, P: Precomputed, g: DeviceGeom, bc: BCs,
     fx = P.faces.x
     fy = P.faces.y
     Sx, inc_x = _face_flux_dir(static, fx, coup.Q_uu_dp_edge.x, coup.Q_uv_dp_edge.x,
-                               coup.Q_vv_dp_edge.x, coup.H_bcl_edge.x,
+                               coup.Q_vv_dp_edge.x, coup.dH_bcl_edge.x,
                                [(t.xl, t.xr) for t in traces], g.psiq)
     Sy, inc_y = _face_flux_dir(static, fy, coup.Q_uu_dp_edge.y, coup.Q_uv_dp_edge.y,
-                               coup.Q_vv_dp_edge.y, coup.H_bcl_edge.y,
+                               coup.Q_vv_dp_edge.y, coup.dH_bcl_edge.y,
                                [(t.yl, t.yr) for t in traces], g.psiq)
     rhs = scatter_face_x(rhs, Sx, bc)
     rhs = scatter_face_y(rhs, Sy, bc)
+    rhs = rhs + P.btp_rhs_ref          # static reference terms (δ-form)
     rhs = g.massinv * rhs
 
     if static.use_visc:
@@ -251,30 +262,30 @@ def create_rhs_btp(static, P: Precomputed, g: DeviceGeom, bc: BCs,
 
 
 def _accumulate(avg: BtpAverages, vol_inc, inc_x, inc_y, graduv, gface,
-                ope2_df_inc, ub_df_inc, vb_df_inc) -> BtpAverages:
+                mu2_df_inc, ub_df_inc, vb_df_inc) -> BtpAverages:
     fx, fy = avg.faces.x, avg.faces.y
 
     def upd_face(fa: BtpFaceAvg, inc, gv):
         return fa._replace(
-            H=fa.H + inc["H"], QuU=fa.QuU + inc["QuU"], QuV=fa.QuV + inc["QuV"],
+            dH=fa.dH + inc["dH"], QuU=fa.QuU + inc["QuU"], QuV=fa.QuV + inc["QuV"],
             QvU=fa.QvU + inc["QvU"], QvV=fa.QvV + inc["QvV"],
-            opeL=fa.opeL + inc["opeL"], opeR=fa.opeR + inc["opeR"],
-            ope2L=fa.ope2L + inc["ope2L"], ope2R=fa.ope2R + inc["ope2R"],
+            muL=fa.muL + inc["muL"], muR=fa.muR + inc["muR"],
+            mu2L=fa.mu2L + inc["mu2L"], mu2R=fa.mu2R + inc["mu2R"],
             fluxU=fa.fluxU + inc["fluxU"], fluxV=fa.fluxV + inc["fluxV"],
-            opee2=fa.opee2 + inc["opee2"],
+            mue2=fa.mue2 + inc["mue2"],
             ubL=fa.ubL + inc["ubL"], ubR=fa.ubR + inc["ubR"],
             vbL=fa.vbL + inc["vbL"], vbR=fa.vbR + inc["vbR"],
             gvL=fa.gvL + gv[:, 0], gvR=fa.gvR + gv[:, 1],
         )
 
     return avg._replace(
-        H=avg.H + vol_inc["H"], Qu=avg.Qu + vol_inc["Qu"], Qv=avg.Qv + vol_inc["Qv"],
-        Quv=avg.Quv + vol_inc["Quv"], ope=avg.ope + vol_inc["ope"],
-        ope2=avg.ope2 + vol_inc["ope2"], ub=avg.ub + vol_inc["ub"],
+        dH=avg.dH + vol_inc["dH"], Qu=avg.Qu + vol_inc["Qu"], Qv=avg.Qv + vol_inc["Qv"],
+        Quv=avg.Quv + vol_inc["Quv"], mu=avg.mu + vol_inc["mu"],
+        mu2=avg.mu2 + vol_inc["mu2"], ub=avg.ub + vol_inc["ub"],
         vb=avg.vb + vol_inc["vb"], mfU=avg.mfU + vol_inc["mfU"],
         mfV=avg.mfV + vol_inc["mfV"], tbU=avg.tbU + vol_inc["tbU"],
         tbV=avg.tbV + vol_inc["tbV"],
-        ope2_df=avg.ope2_df + ope2_df_inc,
+        mu2_df=avg.mu2_df + mu2_df_inc,
         ub_df=avg.ub_df + ub_df_inc, vb_df=avg.vb_df + vb_df_inc,
         graduvb=avg.graduvb + graduv,
         faces=Pair(upd_face(fx, inc_x, gface.x), upd_face(fy, inc_y, gface.y)),
@@ -309,15 +320,17 @@ def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
         qb0 = qb
         qb1 = qb
         for ik in range(kstages):
-            # nodal accumulators BEFORE the stage RHS (reference :90-92)
-            ope2_df_inc = (1.0 + qb1[1] * P.one_over_pbprime_df) ** 2
+            # nodal accumulators BEFORE the stage RHS (reference :90-92);
+            # mu2_df = ope_df^2 - 1 stored in conditioned form
+            t_df = qb1[1] * P.one_over_pbprime_df
+            mu2_df_inc = t_df * (2.0 + t_df)
             ub_df_inc = qb1[2] / qb1[0]
             vb_df_inc = qb1[3] / qb1[0]
 
             rhs, vol_inc, inc_x, inc_y, graduv, gface = create_rhs_btp(
                 static, P, g, bc, coup, qb1, qprime_df)
             avg = _accumulate(avg, vol_inc, inc_x, inc_y, graduv, gface,
-                              ope2_df_inc, ub_df_inc, vb_df_inc)
+                              mu2_df_inc, ub_df_inc, vb_df_inc)
 
             dtt = static.dt_btp * beta[ik]
             new234 = (a[ik, 0] * qb0[1:4] + a[ik, 1] * qb1[1:4]

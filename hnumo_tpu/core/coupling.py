@@ -14,18 +14,22 @@ from .faces import BCs, extract_faces, face_n2q
 from .types import CouplingFields, Pair, Precomputed
 
 
-def _cumsum_pressure(dpp, alpha):
-    """p'_k interfaces (cumsum over layers, zero at surface) and the layer
-    pressure-force H_k = 0.5*alpha_k*(p'_{k+1}^2 - p'_k^2).
+def delta_pressure_H(ddpp, P_ref, alpha):
+    """δ-form layer pressure force (docs/float32.md).
 
-    dpp: (L, ...); returns (p_lower (L, ...), H (L, ...)) where p_lower[k] is
-    the interface below layer k.
+    ddpp = dp' - dp'_ref (L, ...); P_ref = reference interface pressures
+    (L+1, ...). Returns (pi_lower (L, ...), dH (L, ...)) with
+    pi = p - P_ref (conditioned cumsum) and
+    dH_k = H_k - H_ref_k = alpha_k*(Pl*pi_l - Pu*pi_u + (pi_l^2-pi_u^2)/2),
+    exactly equal (in exact arithmetic) to the reference's
+    H_k = 0.5*alpha_k*(p_lower^2 - p_upper^2) minus its static part.
     """
-    p_lower = jnp.cumsum(dpp, axis=0)
-    p_upper = p_lower - dpp
-    al = alpha.reshape((-1,) + (1,) * (dpp.ndim - 1))
-    H = 0.5 * al * (p_lower**2 - p_upper**2)
-    return p_lower, H
+    pi_lower = jnp.cumsum(ddpp, axis=0)
+    pi_upper = pi_lower - ddpp
+    al = alpha.reshape((-1,) + (1,) * (ddpp.ndim - 1))
+    dH = al * (P_ref[1:] * pi_lower - P_ref[:-1] * pi_upper
+               + 0.5 * (pi_lower**2 - pi_upper**2))
+    return pi_lower, dH
 
 
 def btp_bcl_coeffs(
@@ -42,32 +46,37 @@ def btp_bcl_coeffs(
     alpha = P.alpha
 
     # ---- volume quad-point coefficients (reference :265-283) ----
-    qp = interp_n2q(g, qprime_df)          # (3, L, quad)
-    dpp, up, vp = qp[0], qp[1], qp[2]
+    qp = interp_n2q(g, qprime_df)          # (3, L, quad); qp[0] = δdp'
+    ddpp, up, vp = qp[0], qp[1], qp[2]
+    dpp = P.dpp_ref_q + ddpp               # full dp' for the advective sums
     Q_uu_dp = jnp.sum(up * up * dpp, axis=0)
     Q_uv_dp = jnp.sum(vp * up * dpp, axis=0)
     Q_vv_dp = jnp.sum(vp * vp * dpp, axis=0)
-    _, Hk = _cumsum_pressure(dpp, alpha)
-    H_bcl = jnp.sum(Hk, axis=0)
+    _, dHk = delta_pressure_H(ddpp, P.P_ref_q, alpha)
+    dH_bcl = jnp.sum(dHk, axis=0)
 
-    # ---- edge coefficients (reference :306-337) ----
+    # ---- edge coefficients (reference :306-337), δ-form ----
     fdp, fu, fv = qprime_faces
 
-    def edge_dir(dL, dR, uL, uR, vL, vR):
-        # traces (L, F, ngl) -> quad (L, F, nq)
-        dLq, dRq = face_n2q(g.psiq, dL), face_n2q(g.psiq, dR)
+    def edge_dir(dL, dR, uL, uR, vL, vR, fg):
+        # traces (L, F, ngl) -> quad (L, F, nq); thickness traces carry δdp'
+        ddLq, ddRq = face_n2q(g.psiq, dL), face_n2q(g.psiq, dR)
+        dLq = fg.dpp_ref_face_q + ddLq
+        dRq = fg.dpp_ref_face_q + ddRq
         uLq, uRq = face_n2q(g.psiq, uL), face_n2q(g.psiq, uR)
         vLq, vRq = face_n2q(g.psiq, vL), face_n2q(g.psiq, vR)
         quu = jnp.sum(0.5 * (uLq * uLq * dLq + uRq * uRq * dRq), axis=0)
         quv = jnp.sum(0.5 * (vLq * uLq * dLq + vRq * uRq * dRq), axis=0)
         qvv = jnp.sum(0.5 * (vLq * vLq * dLq + vRq * vRq * dRq), axis=0)
-        _, HL = _cumsum_pressure(dLq, alpha)
-        _, HR = _cumsum_pressure(dRq, alpha)
-        Hedge = jnp.sum(0.5 * (HL + HR), axis=0)
-        return quu, quv, qvv, Hedge
+        _, dHL = delta_pressure_H(ddLq, fg.P_ref_edge, alpha)
+        _, dHR = delta_pressure_H(ddRq, fg.P_ref_edge, alpha)
+        dHedge = jnp.sum(0.5 * (dHL + dHR), axis=0)
+        return quu, quv, qvv, dHedge
 
-    xquu, xquv, xqvv, xH = edge_dir(fdp.xl, fdp.xr, fu.xl, fu.xr, fv.xl, fv.xr)
-    yquu, yquv, yqvv, yH = edge_dir(fdp.yl, fdp.yr, fu.yl, fu.yr, fv.yl, fv.yr)
+    xquu, xquv, xqvv, xH = edge_dir(fdp.xl, fdp.xr, fu.xl, fu.xr, fv.xl, fv.xr,
+                                    P.faces.x)
+    yquu, yquv, yqvv, yH = edge_dir(fdp.yl, fdp.yr, fu.yl, fu.yr, fv.yl, fv.yr,
+                                    P.faces.y)
 
     # ---- viscosity coefficient fields (reference :287-304,339-407) ----
     if static.use_visc:
@@ -105,9 +114,9 @@ def btp_bcl_coeffs(
         btp_gface_y = jnp.sum(gface_y, axis=2)
 
     return CouplingFields(
-        Q_uu_dp=Q_uu_dp, Q_uv_dp=Q_uv_dp, Q_vv_dp=Q_vv_dp, H_bcl=H_bcl,
+        Q_uu_dp=Q_uu_dp, Q_uv_dp=Q_uv_dp, Q_vv_dp=Q_vv_dp, dH_bcl=dH_bcl,
         Q_uu_dp_edge=Pair(xquu, yquu), Q_uv_dp_edge=Pair(xquv, yquv),
-        Q_vv_dp_edge=Pair(xqvv, yqvv), H_bcl_edge=Pair(xH, yH),
+        Q_vv_dp_edge=Pair(xqvv, yqvv), dH_bcl_edge=Pair(xH, yH),
         dpp_graduv=dpp_graduv, btp_dpp_graduv=btp_dpp_graduv,
         pbprime_visc=pbprime_visc, dpprime_visc=dpprime_visc,
         dpprime_visc_q=dpprime_visc_q,

@@ -244,6 +244,34 @@ def build_precomputed(cfg: Config, geom: Geometry, dtype) -> tuple[Precomputed, 
     ssprk_a, ssprk_beta = ssprk_coefficients(
         cfg.kstages, "lsrk" if cfg.ti_method_btp == "lsrk" else "ssprk")
 
+    # ---- reference-state (rest) tables for the f32 δ-formulation --------
+    # (docs/float32.md). Reference = the t=0 rest profile: dp'_ref is the
+    # initial prime thickness (one_plus_eta == 1 at t=0 by construction of
+    # pbprime, src/initial_conditions.F90:324-416).
+    dpp_ref_df = ini.qprime_df[0].copy()                  # (L, nodal) f64
+    dpp_ref_q = n2q(dpp_ref_df)                           # (L, quad)
+    P_ref_q = np.concatenate([np.zeros_like(dpp_ref_q[:1]),
+                              np.cumsum(dpp_ref_q, axis=0)], axis=0)
+    alz = ini.alpha.reshape((L, 1, 1, 1, 1))
+    Hk_ref_q = 0.5 * alz * (P_ref_q[1:] ** 2 - P_ref_q[:-1] ** 2)
+    H_bcl_ref = Hk_ref_q.sum(axis=0)
+    dz_ref = (alz / grav) * dpp_ref_df                    # (L, nodal)
+    z_ref_df = np.concatenate(
+        [ini.zbot_df[None] + np.cumsum(dz_ref[::-1], axis=0)[::-1],
+         ini.zbot_df[None]], axis=0)                      # (L+1, nodal)
+    gz_ref = np.stack([np.stack(grad_q(z_ref_df[k]))
+                       for k in range(L + 1)], axis=1)    # (2, L+1, quad)
+
+    def ref_face_tables(xl_sel):
+        """Per-direction ref face tables from the (continuous) nodal trace."""
+        (fxl, _), (fyl, _) = _face_traces_np(dpp_ref_df, geom, bc)
+        tr = xl_sel(fxl, fyl)                             # (L, F, ngl)
+        trq = np.einsum("...n,nq->...q", tr, geom.psiq)   # (L, F, nq)
+        Pe = np.concatenate([np.zeros_like(trq[:1]), np.cumsum(trq, axis=0)], 0)
+        alf = ini.alpha.reshape((L, 1, 1, 1))
+        Hke = 0.5 * alf * (Pe[1:] ** 2 - Pe[:-1] ** 2)
+        return tr, trq, Pe, Hke
+
     # ---- per-direction face tables -------------------------------------
     (pbq_xl, pbq_xr), (pbq_yl, pbq_yr) = _face_traces_np(pbprime_q, geom, bc)
     # quad-grid face traces: slice quad field edges (pbprime at quad points,
@@ -297,6 +325,16 @@ def build_precomputed(cfg: Config, geom: Geometry, dtype) -> tuple[Precomputed, 
         with np.errstate(divide="ignore"):
             one_over_pb_edge = np.where(pbL > 0, 1.0 / pbL, 0.0)
 
+        # reference-state face tables (δ-formulation, docs/float32.md)
+        if direction == "x":
+            tr, trq, Pe, Hke = ref_face_tables(lambda fx, fy: fx)
+        else:
+            tr, trq, Pe, Hke = ref_face_tables(lambda fx, fy: fy)
+        alf = ini.alpha.reshape((L, 1, 1, 1))
+        thick_ref = (alf / grav) * trq
+        z_ref_face = np.concatenate(
+            [zbL[None] + np.cumsum(thick_ref[::-1], axis=0)[::-1], zbL[None]], 0)
+
         def cast(a):
             return jnp.asarray(a, dtype=dtype)
 
@@ -313,7 +351,49 @@ def build_precomputed(cfg: Config, geom: Geometry, dtype) -> tuple[Precomputed, 
             pbprime_df_face_L=cast(pbdfL), pbprime_df_face_R=cast(pbdfR),
             zbot_face_L=cast(zbL), zbot_face_R=cast(zbR),
             wall4=cast(wall),
+            dpp_ref_face=cast(tr), dpp_ref_face_q=cast(trq),
+            P_ref_edge=cast(Pe), Hk_ref_edge=cast(Hke),
+            Hedge_ref=cast(Hke.sum(axis=0)), z_ref_face=cast(z_ref_face),
         )
+
+    # ---- static RHS vectors (f64, via the actual jnp kernels) -----------
+    # Exactly the terms the δ-form kernels drop (docs/float32.md): the
+    # reference-state H fluxes + static sources. For a well-balanced case
+    # these sum to ~1e-12; for an off-equilibrium IC they are the small
+    # initial forcing. Assembled serially (pre-blockify global layout).
+    from ..ops.dg import device_geom as _device_geom, scatter_volume as _sv
+    from .faces import (face_quad_scatter as _fqs, scatter_face_x as _sfx,
+                        scatter_face_y as _sfy)
+
+    g64 = _device_geom(geom, jnp.float64)
+    f64 = lambda a: jnp.asarray(np.asarray(a), dtype=jnp.float64)
+
+    _, trqx, Pex, Hkex = ref_face_tables(lambda fx, fy: fx)
+    _, trqy, Pey, Hkey = ref_face_tables(lambda fx, fy: fy)
+    Hex, Hey = Hkex.sum(axis=0), Hkey.sum(axis=0)
+
+    rhs2 = _sv(g64, Fx=f64(H_bcl_ref), Fs=f64(-grav * pbprime_q * gzx))
+    rhs3 = _sv(g64, Fy=f64(H_bcl_ref), Fs=f64(-grav * pbprime_q * gzy))
+    S2x = _fqs(g64.psiq, f64(geom.jac_facex), f64(geom.nx_x * Hex))
+    S3x = _fqs(g64.psiq, f64(geom.jac_facex), f64(geom.ny_x * Hex))
+    S2y = _fqs(g64.psiq, f64(geom.jac_facey), f64(geom.nx_y * Hey))
+    S3y = _fqs(g64.psiq, f64(geom.jac_facey), f64(geom.ny_y * Hey))
+    rhs2 = _sfy(_sfx(rhs2, S2x, bc), S2y, bc)
+    rhs3 = _sfy(_sfx(rhs3, S3x, bc), S3y, bc)
+    btp_rhs_ref = np.stack([np.zeros_like(np.asarray(rhs2)),
+                            np.asarray(rhs2), np.asarray(rhs3)])
+
+    src_x = grav * (P_ref_q[:-1] * gz_ref[0, :-1] - P_ref_q[1:] * gz_ref[0, 1:])
+    src_y = grav * (P_ref_q[:-1] * gz_ref[1, :-1] - P_ref_q[1:] * gz_ref[1, 1:])
+    rhs_u = _sv(g64, Fx=f64(Hk_ref_q), Fs=f64(src_x))
+    rhs_v = _sv(g64, Fy=f64(Hk_ref_q), Fs=f64(src_y))
+    SuX = _fqs(g64.psiq, f64(geom.jac_facex), f64(geom.nx_x[None] * Hkex))
+    SvX = _fqs(g64.psiq, f64(geom.jac_facex), f64(geom.ny_x[None] * Hkex))
+    SuY = _fqs(g64.psiq, f64(geom.jac_facey), f64(geom.nx_y[None] * Hkey))
+    SvY = _fqs(g64.psiq, f64(geom.jac_facey), f64(geom.ny_y[None] * Hkey))
+    rhs_u = _sfy(_sfx(rhs_u, SuX, bc), SuY, bc)
+    rhs_v = _sfy(_sfx(rhs_v, SvX, bc), SvY, bc)
+    bcl_rhs_ref = np.stack([np.asarray(rhs_u), np.asarray(rhs_v)])
 
     def cast(a):
         return jnp.asarray(np.asarray(a), dtype=dtype)
@@ -329,11 +409,50 @@ def build_precomputed(cfg: Config, geom: Geometry, dtype) -> tuple[Precomputed, 
         coriolis_quad=cast(coriolis_quad), coriolis_df=cast(coriolis_df),
         fdt2_bcl=cast(fdt2), a_bcl=cast(a_bcl), b_bcl=cast(b_bcl),
         ssprk_a=cast(ssprk_a), ssprk_beta=cast(ssprk_beta),
+        dpp_ref_df=cast(dpp_ref_df), dpp_ref_q=cast(dpp_ref_q),
+        sum_ref_residual=cast(np.zeros_like(ini.pbprime_df)),  # set below
+        P_ref_q=cast(P_ref_q), Hk_ref_q=cast(Hk_ref_q),
+        H_bcl_ref=cast(H_bcl_ref), z_ref_df=cast(z_ref_df),
+        gz_ref=cast(gz_ref), btp_rhs_ref=cast(btp_rhs_ref),
+        bcl_rhs_ref=cast(bcl_rhs_ref),
         faces=Pair(face_dir_geom("x"), face_dir_geom("y")),
     )
 
+    # Ref tables that get SUBTRACTED from kernel-computed fields must be
+    # produced by the identical compute-dtype pipeline, so that δ == exact 0
+    # at the reference state in fp arithmetic (docs/float32.md). In f64 the
+    # host tables already match to roundoff; in f32 recompute on device.
+    if dtype != jnp.float64:
+        from ..ops.dg import interp_n2q as _interp
+        from .faces import extract_faces as _ef, face_n2q as _fn2q
+
+        gdt = _device_geom(geom, dtype)
+        dpp_ref_dt = jnp.asarray(dpp_ref_df, dtype)
+        flr, _ = _ef(dpp_ref_dt, bc)
+        fxq = _fn2q(gdt.psiq, flr.xl)
+        fyq = _fn2q(gdt.psiq, flr.yl)
+        P = P._replace(
+            dpp_ref_q=_interp(gdt, dpp_ref_dt),
+            faces=Pair(
+                P.faces.x._replace(dpp_ref_face=flr.xl, dpp_ref_face_q=fxq),
+                P.faces.y._replace(dpp_ref_face=flr.yl, dpp_ref_face_q=fyq),
+            ))
+
+    # perturbation residual for one_plus_eta (docs/float32.md): computed in
+    # the COMPUTE dtype so eta from δ sums is exact at the reference state
+    sum_ref_residual = (jnp.sum(jnp.asarray(dpp_ref_df, dtype), axis=0)
+                        - jnp.asarray(ini.pbprime_df, dtype))
+    P = P._replace(sum_ref_residual=sum_ref_residual)
+
+    # thickness channels stored as perturbations (State docstring): at t=0
+    # the shipped cases start at the reference state, so δ = full - ref,
+    # formed in f64 BEFORE the cast (exact zero for the rest-state layers)
+    q_df0 = ini.q_df.copy()
+    q_df0[0] = ini.q_df[0] - dpp_ref_df
+    qprime0 = ini.qprime_df.copy()
+    qprime0[0] = ini.qprime_df[0] - dpp_ref_df
     state = State(
-        qb_df=cast(ini.qb_df), q_df=cast(ini.q_df), qprime_df=cast(ini.qprime_df),
+        qb_df=cast(ini.qb_df), q_df=cast(q_df0), qprime_df=cast(qprime0),
         t=jnp.asarray(cfg.t_initial, dtype=dtype), ok=jnp.asarray(True),
     )
 
@@ -345,7 +464,7 @@ def build_precomputed(cfg: Config, geom: Geometry, dtype) -> tuple[Precomputed, 
         ad_mlswe=cfg.ad_mlswe,
         max_shear_dz=cfg.max_shear_dz if cfg.max_shear_dz > 0 else 1.0,
         alpha_bot=float(ini.alpha[L - 1]),
-        Pstress=(grav / ini.alpha[0]) * 50.0,
-        Pbstress=(grav / ini.alpha[L - 1]) * 10.0,
+        Pstress=float((grav / ini.alpha[0]) * 50.0),
+        Pbstress=float((grav / ini.alpha[L - 1]) * 10.0),
     )
     return P, state, static, ini

@@ -47,7 +47,7 @@ def _momentum_update(static, P, g, bc, avg, coup, q_df, qprime_df, qprime_faces,
         # rotate, smooth velocities, implicit shear solve (reference :140-163)
         qu3, qv3 = _coriolis_rotation(P, qu_t, qv_t, q_df)
         q_df3 = jnp.stack([q_df[0], qu3, qv3])
-        q_df3 = velocity_df(q_df3, qb_df)
+        q_df3 = velocity_df(P, q_df3, qb_df)
         rhs_stress = rhs_layer_shear_stress(static, P, g, q_df3)
         qu_t = qu_t + static.dt * (g.massinv[None] * rhs_stress[0])
         qv_t = qv_t + static.dt * (g.massinv[None] * rhs_stress[1])
@@ -64,7 +64,9 @@ def _thickness_update(static, P, g, bc, avg, q_df, qprime_df, qprime_faces):
     dp_advec, slmf, slmf_face = layer_mass_rhs(
         static, P, g, bc, avg, qprime_df, qprime_faces)
     q_df = q_df.at[0].add(static.dt * dp_advec)
-    ok = all_shards_and(jnp.all(q_df[0] >= 0.0), bc)
+    # q_df[0] stores δdp; the abort checks the FULL thickness (reference
+    # src/mod_splitting.F90:74-77)
+    ok = all_shards_and(jnp.all(P.dpp_ref_df + q_df[0] >= 0.0), bc)
     q_df = apply_consistency(static, P, g, bc, avg, q_df, slmf, slmf_face)
     return q_df, ok
 
@@ -95,7 +97,7 @@ def ti_rk_bcl(static, P: Precomputed, g: DeviceGeom, bc: BCs, state: State) -> S
         type(f2)(*[0.5 * (a + b) for a, b in zip(f1, f2)])
         for f1, f2 in zip(qprime_faces, qprime_faces2)
     )
-    dpprime_visc = qprime_half[0]
+    dpprime_visc = P.dpp_ref_df + qprime_half[0]
     dpprime_visc_q = interp_n2q(g, dpprime_visc) if static.method_visc == 1 else zq
     coup = btp_bcl_coeffs(static, P, g, bc, qprime_half, qprime_faces_half,
                           dpprime_visc, dpprime_visc_q)
@@ -106,9 +108,9 @@ def ti_rk_bcl(static, P: Precomputed, g: DeviceGeom, bc: BCs, state: State) -> S
                                   qprime_half, qprime_faces_half)
 
     # store dp' dofs; average thickness primes for the momentum corrector
-    # (reference src/ti_rk_bcl.F90:73-85)
-    one_plus_eta = jnp.sum(q_df[0], 0) / P.pbprime_df
-    dpprime_new = q_df[0] / one_plus_eta[None]
+    # (reference src/ti_rk_bcl.F90:73-85); δ-forms throughout
+    eta_t = (jnp.sum(q_df[0], 0) + P.sum_ref_residual) * P.one_over_pbprime_df
+    dpprime_new = (q_df[0] - P.dpp_ref_df * eta_t[None]) / (1.0 + eta_t)[None]
     dpprime_faces_new = extract_qprime_faces(bc, jnp.stack(
         [dpprime_new, qprime_half[1], qprime_half[2]]))[0]
 
@@ -119,7 +121,7 @@ def ti_rk_bcl(static, P: Precomputed, g: DeviceGeom, bc: BCs, state: State) -> S
 
     q_df = _momentum_update(static, P, g, bc, avg, coup,
                             q_df, qprime_mom, qprime_faces_mom, qb_new)
-    q_df, qprime_mom = evaluate_bcl_v1(q_df, qprime_mom, qb_new)
+    q_df, qprime_mom = evaluate_bcl_v1(P, q_df, qprime_mom, qb_new)
 
     qprime_out = jnp.stack([dpprime_new, qprime_mom[1], qprime_mom[2]])
 

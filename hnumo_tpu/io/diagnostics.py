@@ -23,10 +23,14 @@ def derived_fields(model, state):
     grav = model.static.gravity
     L = q.shape[1]
 
-    h = alpha[:, None, None, None, None] / grav * q[0]
-    u = q[1] / q[0]
-    v = q[2] / q[0]
-    dp = q[0]
+    # q_df[0] stores δdp (core.types.State); reconstruct the full thickness
+    # with the f64 master reference so diagnostic reconstruction does not
+    # round away the perturbation signal in f32 runs (docs/float32.md)
+    dp = np.asarray(model.init_fields.qprime_df[0], np.float64) + np.float64(q[0])
+    q = np.float64(q)
+    h = alpha[:, None, None, None, None] / grav * dp
+    u = q[1] / dp
+    v = q[2] / dp
     zbot = np.asarray(model.P.zbot_df)
     elev = np.empty((L + 1,) + zbot.shape, q.dtype)
     elev[L] = zbot
@@ -40,8 +44,9 @@ def compute_mass(model, state):
     """Per-layer integral of h (the reference integrates the DERIVED h,
     src/mod_time_loop.F90:153-163 via compute_conserved on qout(1))."""
     q = np.asarray(state.q_df)
-    alpha = np.asarray(model.P.alpha)
-    h = alpha[:, None, None, None, None] / model.static.gravity * q[0]
+    alpha = np.asarray(model.P.alpha, np.float64)
+    dp = np.asarray(model.init_fields.qprime_df[0], np.float64) + np.float64(q[0])
+    h = alpha[:, None, None, None, None] / model.static.gravity * dp
     wj = np.asarray(model.g.wjac_df)
     return (wj[None] * h).sum(axis=(1, 2, 3, 4))
 

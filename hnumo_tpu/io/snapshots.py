@@ -161,10 +161,12 @@ def restore_state(model, snap, t=None):
     u = snap["u"].reshape((L,) + shp)
     v = snap["v"].reshape((L,) + shp)
     dp = grav / alpha[:, None, None, None, None] * h
-    q = np.stack([dp, u * dp, v * dp])
+    dpp_ref = np.asarray(model.P.dpp_ref_df, np.float64)
+    # thickness channels are stored as perturbations (core.types.State)
+    q = np.stack([dp - dpp_ref, u * dp, v * dp])
 
     one_plus_eta = dp.sum(0) / pbprime_df
-    qprime = np.stack([dp / one_plus_eta[None],
+    qprime = np.stack([dp / one_plus_eta[None] - dpp_ref,
                        u - (pbub / pb)[None],
                        v - (pbvb / pb)[None]])
 

@@ -29,7 +29,10 @@ class Model:
         """
         self.cfg = cfg
         dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
-        if dtype == jnp.float64 and not jax.config.jax_enable_x64:
+        # x64 is always enabled: the δ-formulation's static reference vectors
+        # are assembled in f64 at init even for f32 runs (docs/float32.md);
+        # the compute path uses explicit dtypes throughout.
+        if not jax.config.jax_enable_x64:
             jax.config.update("jax_enable_x64", True)
         self.dtype = dtype
 

@@ -111,11 +111,11 @@ def blockify_tables(g, Pre, px: int, py: int):
     Returns (g, Pre) with jnp arrays preserved as-is dtype-wise."""
     import jax.numpy as jnp
 
-    def bx(a):  # x-face table: face axis is 1 (ney, nex+1, ...)
-        return jnp.asarray(_blockify(np.asarray(a), px, 1))
+    def bx(a):  # x-face table: face axis is -2 ((..., ney, nex+1, n))
+        return jnp.asarray(_blockify(np.asarray(a), px, a.ndim - 2))
 
-    def by(a):  # y-face table: face axis is 0 (ney+1, nex, ...)
-        return jnp.asarray(_blockify(np.asarray(a), py, 0))
+    def by(a):  # y-face table: face axis is -3 ((..., ney+1, nex, n))
+        return jnp.asarray(_blockify(np.asarray(a), py, a.ndim - 3))
 
     g = g._replace(**{f: bx(getattr(g, f)) for f in _GEOM_XFACE},
                    **{f: by(getattr(g, f)) for f in _GEOM_YFACE})

@@ -38,8 +38,9 @@ def _assert_scaled_close(a, b, tol, name):
 
 def _mass(m, s):
     wj = np.asarray(m.g.wjac_df)
-    # wjac_df is blocked-free (element table); shape (ney, nex, ngl, ngl)
-    return (wj[None] * np.asarray(s.q_df[0])).sum(axis=(1, 2, 3, 4))
+    # q_df[0] stores δdp (core.types.State); add the reference thickness
+    dp = np.asarray(m.P.dpp_ref_df) + np.asarray(s.q_df[0])
+    return (wj[None] * dp).sum(axis=(1, 2, 3, 4))
 
 
 @pytest.mark.parametrize("shape", [(2, 4), (1, 8)])
@@ -92,7 +93,8 @@ def test_sharded_lake_at_rest():
         s = m.step(s)
     q = np.asarray(s.q_df)
     alpha = np.asarray(m.P.alpha)
-    h = alpha[:, None, None, None, None] / 9.806 * q[0]
+    dp = np.asarray(m.P.dpp_ref_df) + q[0]
+    h = alpha[:, None, None, None, None] / 9.806 * dp
     ssh = np.asarray(m.P.zbot_df) + h.sum(0)
     assert np.abs(ssh - ssh.mean()).max() < 1e-9
     assert np.abs(q[1:]).max() < 1e-4  # u*dp units: dp~2e5, so u ~ 5e-10 m/s
