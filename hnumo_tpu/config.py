@@ -56,6 +56,12 @@ class Config:
     lcheck_conserved: bool = True
     lrestart_file: bool = False
     irestart_file_number: int = 0
+    # external (gmsh) mesh + bathymetry (reference src/mod_input.F90:251,288)
+    lread_external_grid: bool = False
+    mesh_file: str = ""
+    lread_external_bathy: bool = False
+    bathymetry_file: str = ""
+    bathymetry_shift: float = 0.0
 
     # --- non-reference extensions ---
     dtype: str = "float64"         # compute dtype ("float64" validation, "float32" perf)

@@ -63,8 +63,14 @@ class InitialFields:
     gravity: float
 
 
-def _test_case_fields(cfg: Config, geom: Geometry) -> InitialFields:
-    """Test-case switch (reference src/initial_conditions.F90:93-306)."""
+def _test_case_fields(cfg: Config, geom: Geometry, zbot_ext=None) -> InitialFields:
+    """Test-case switch (reference src/initial_conditions.F90:93-306).
+
+    `zbot_ext`: optional external bathymetry (nely, nelx, ngl, ngl) that
+    overrides the test case's analytic bottom (reference read_bathy path,
+    src/read_gmsh.F90:178-207); the stratification (alpha, interface
+    levels) still comes from the selected test case.
+    """
     L = cfg.nlayers
     x = geom.coord[..., 0]
     y = geom.coord[..., 1]
@@ -155,6 +161,10 @@ def _test_case_fields(cfg: Config, geom: Geometry) -> InitialFields:
     else:
         raise ValueError(f"unknown test case {cfg.test_case!r}")
 
+    if zbot_ext is not None:
+        zbot = np.asarray(zbot_ext, dtype=np.float64)
+        z_int[L] = zbot
+
     # clamp interfaces to bottom (reference :310-317)
     for k in range(L + 1):
         z_int[k] = np.maximum(zbot, z_int[k])
@@ -208,10 +218,10 @@ def _face_traces_np(u, geom: Geometry, bc: BCs):
     return (xl, xr), (yl, yr)
 
 
-def build_precomputed(cfg: Config, geom: Geometry, dtype) -> tuple[Precomputed, State, StaticConfig, InitialFields]:
+def build_precomputed(cfg: Config, geom: Geometry, dtype, zbot_ext=None) -> tuple[Precomputed, State, StaticConfig, InitialFields]:
     """Build all static tables + initial state."""
-    bc = BCs(cfg.x_boundary[0], cfg.x_boundary[1], cfg.y_boundary[0], cfg.y_boundary[1])
-    ini = _test_case_fields(cfg, geom)
+    bc = BCs(*geom.bc)
+    ini = _test_case_fields(cfg, geom, zbot_ext=zbot_ext)
     grav = ini.gravity
     L = cfg.nlayers
 

@@ -39,6 +39,13 @@ class Runner:
             return
         if cfg.out_type == "nc":
             snap.write_nc(self.model, state, itime, outdir=self.outdir)
+        elif cfg.out_type == "vtk":
+            from .io.vtk import write_vtk
+
+            write_vtk(self.model, state, itime, outdir=self.outdir,
+                      fmt=cfg.format_vtk)
+            # restart needs a readable prognostic snapshot alongside VTK
+            snap.write_txt(self.model, state, itime, outdir=self.outdir)
         else:
             snap.write_txt(self.model, state, itime, outdir=self.outdir)
 

@@ -39,13 +39,32 @@ class Model:
         nop = cfg.nopx
         if cfg.nopy != cfg.nopx:
             raise NotImplementedError("anisotropic polynomial order not supported yet")
-        bc = (cfg.x_boundary[0], cfg.x_boundary[1], cfg.y_boundary[0], cfg.y_boundary[1])
-        self.geom = build_geometry(cfg.nelx, cfg.nely, nop, cfg.xdims, cfg.ydims,
-                                   bc=bc, exact_integration=cfg.dg_integ_exact)
+        zbot_ext = None
+        if cfg.lread_external_grid:
+            # external gmsh mesh path (reference read_gmsh + read_bathy,
+            # src/read_gmsh.F90); BC codes come from the mesh's $BC section
+            from .mesh.gmsh import geometry_from_msh
+
+            self.geom, zbot_ext = geometry_from_msh(
+                cfg.mesh_file, nop, exact_integration=cfg.dg_integ_exact,
+                bathy_path=(cfg.bathymetry_file
+                            if cfg.lread_external_bathy else None))
+            bc = self.geom.bc
+            if zbot_ext is not None and cfg.bathymetry_shift:
+                zbot_ext = zbot_ext + cfg.bathymetry_shift
+            if (self.geom.nelx, self.geom.nely) != (cfg.nelx, cfg.nely):
+                object.__setattr__(cfg, "nelx", self.geom.nelx)
+                object.__setattr__(cfg, "nely", self.geom.nely)
+        else:
+            bc = (cfg.x_boundary[0], cfg.x_boundary[1],
+                  cfg.y_boundary[0], cfg.y_boundary[1])
+            self.geom = build_geometry(cfg.nelx, cfg.nely, nop, cfg.xdims,
+                                       cfg.ydims, bc=bc,
+                                       exact_integration=cfg.dg_integ_exact)
         self.g = device_geom(self.geom, dtype)
         self.bc = BCs(*bc)
         self.P, _state0, self.static, self.init_fields = build_precomputed(
-            cfg, self.geom, dtype)
+            cfg, self.geom, dtype, zbot_ext=zbot_ext)
         # keep the initial state on host: step() donates its input buffer, so
         # state0 materializes a FRESH device state on every access
         import numpy as _np

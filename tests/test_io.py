@@ -116,3 +116,34 @@ def test_fin_format_matches_reference_style(model, stepped, tmp_path):
     assert lines[0].startswith("Layer =")
     assert lines[1].startswith("Mass Loss  =")
     assert sum(1 for l in lines if l.startswith("Fields:")) == 8  # 4 fields x 2 layers
+
+
+def test_vtk_ascii_and_binary(model, stepped, tmp_path):
+    """Legacy-VTK per-layer writers (reference outvtk_g_binary path)."""
+    from hnumo_tpu.io.vtk import write_grid_vtk, write_vtk
+
+    paths = write_vtk(model, stepped, 3, outdir=str(tmp_path), fmt="ascii")
+    assert len(paths) == 2
+    txt = open(paths[0]).read()
+    assert txt.startswith("# vtk DataFile Version 3.0")
+    assert "DATASET UNSTRUCTURED_GRID" in txt and "ASCII" in txt
+    ngl, ne = model.geom.ngl, model.geom.nelx * model.geom.nely
+    assert f"POINTS {ne * ngl * ngl} float" in txt
+    ncell = ne * (ngl - 1) ** 2
+    assert f"CELLS {ncell} {ncell * 5}" in txt
+    for name in ("h", "u", "v", "eta"):
+        assert f"SCALARS {name} float 1" in txt
+
+    bpaths = write_vtk(model, stepped, 3, root="mlswe_b", outdir=str(tmp_path),
+                       fmt="binary")
+    raw = open(bpaths[0], "rb").read()
+    assert b"BINARY" in raw[:120]
+    # big-endian float32 points parse back to the mesh coordinates
+    i = raw.index(b"POINTS")
+    j = raw.index(b"\n", i) + 1
+    pts = np.frombuffer(raw[j:j + ne * ngl * ngl * 3 * 4], dtype=">f4")
+    x = np.asarray(model.geom.coord[..., 0]).ravel()
+    np.testing.assert_allclose(pts.reshape(-1, 3)[:, 0], x, rtol=1e-6)
+
+    gp = write_grid_vtk(model.geom, str(tmp_path / "grid.vtk"))
+    assert "UNSTRUCTURED_GRID" in open(gp).read()
