@@ -33,14 +33,34 @@ class GmshMesh:
     bathy: np.ndarray | None = None  # (nnodes,) depths, from $Bathy
 
 
-def read_msh(path) -> GmshMesh:
+def read_msh(path, native: bool | None = None) -> GmshMesh:
     """Parse an MSH 2.x ASCII file (the reference's supported format).
 
     Element types used (gmsh spec): 1 = 2-node line (boundary edge),
     3 = 4-node quad (element); reference src/read_gmsh.F90:71-76, 145-160.
     The optional `$BC` section maps physical tags to h-NUMO BC codes
     (src/read_gmsh.F90:163-176 reads `nbc` pairs).
+
+    Uses the native C++ parser (native/src/qmesh.cpp) when available;
+    `native=False` forces the pure-Python path (the parity oracle).
     """
+    if native is not False:
+        try:
+            from . import _native
+
+            if _native.available():
+                nodes, node_ids, quads, bedges, bc_map = _native.read_msh(path)
+                bathy = None
+                with open(path) as f:
+                    if "$Bathy" in f.read():
+                        id_to_idx = {int(v): k for k, v in enumerate(node_ids)}
+                        bathy = read_bathy(path, len(nodes), id_to_idx)
+                return GmshMesh(nodes=nodes, quads=quads,
+                                boundary_edges=bedges, bc_map=bc_map,
+                                bathy=bathy)
+        except (RuntimeError, OSError):
+            if native:
+                raise
     with open(path) as f:
         lines = [ln.strip() for ln in f.read().splitlines()]
 
@@ -135,14 +155,27 @@ def read_bathy(path, nnodes, id_to_idx=None) -> np.ndarray:
 _EDGES = ((0, 1), (1, 2), (2, 3), (3, 0))  # S, E, N, W of a canonical quad
 
 
-def infer_structured_layout(quads: np.ndarray):
+def infer_structured_layout(quads: np.ndarray, native: bool | None = None):
     """Map quads of a logically-structured mesh onto an (nely, nelx) grid.
 
     Returns (nely, nelx, elem_of (nely, nelx) int, rot (nelem,) int) where
     `rot[e]` is the left-rotation of quad e's connectivity that puts its
     nodes in canonical order (node 0 = SW corner, CCW). Raises ValueError
     for non-quad-grid topology.
+
+    Dispatches to the native C++ implementation (hashed BFS,
+    native/src/qmesh.cpp) when available; `native=False` forces the
+    pure-Python path.
     """
+    if native is not False:
+        try:
+            from . import _native
+
+            if _native.available():
+                return _native.infer_structured_layout(quads)
+        except (RuntimeError, OSError):
+            if native:
+                raise
     nelem = len(quads)
     # edge -> (elem, local_edge) adjacency
     edge_owner: dict[tuple[int, int], list[tuple[int, int]]] = {}
@@ -219,15 +252,15 @@ def structured_corner_coords(mesh: GmshMesh):
     Canonical quad node order after rotation: (SW, SE, NE, NW).
     """
     nely, nelx, elem_of, rot = infer_structured_layout(mesh.quads)
+    # canonical node c of element e = quads[e, (c + rot[e]) % 4]
+    qe = mesh.quads[elem_of]                       # (nely, nelx, 4)
+    re = rot[elem_of][..., None]                   # (nely, nelx, 1)
+    canon = np.take_along_axis(qe, (np.arange(4)[None, None] + re) % 4, axis=-1)
     corners = np.empty((nely + 1, nelx + 1), dtype=np.int64)
-    for ey in range(nely):
-        for ex in range(nelx):
-            e = elem_of[ey, ex]
-            q = np.roll(mesh.quads[e], -rot[e])
-            corners[ey, ex] = q[0]
-            corners[ey, ex + 1] = q[1]
-            corners[ey + 1, ex + 1] = q[2]
-            corners[ey + 1, ex] = q[3]
+    corners[:-1, :-1] = canon[..., 0]              # SW of every element
+    corners[:-1, -1] = canon[:, -1, 1]             # SE of last column
+    corners[-1, :-1] = canon[-1, :, 3]             # NW of last row
+    corners[-1, -1] = canon[-1, -1, 2]             # NE corner element
     return mesh.nodes[corners], corners
 
 
