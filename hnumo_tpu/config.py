@@ -65,6 +65,7 @@ class Config:
 
     # --- non-reference extensions ---
     dtype: str = "float64"         # compute dtype ("float64" validation, "float32" perf)
+    use_pallas: str = "auto"       # fused TPU kernels: "auto" | "on" | "off"
 
     def __post_init__(self):
         # normalize periodic coupling (reference src/mod_input.F90:449-465)

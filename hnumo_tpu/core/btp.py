@@ -22,27 +22,14 @@ from .faces import (BCs, apply_wall_projection, extract_faces, face_n2q,
 from .types import BtpAverages, BtpFaceAvg, CouplingFields, Pair, Precomputed
 
 
-def zero_btp_averages(static, g: DeviceGeom, dtype) -> BtpAverages:
-    ney, nex = g.wjac.shape[0], g.wjac.shape[1]
-    nq, ngl = g.wjac.shape[-1], g.wjac_df.shape[-1]
-    zq = jnp.zeros((ney, nex, nq, nq), dtype)
-    zn = jnp.zeros((ney, nex, ngl, ngl), dtype)
-
-    def zface(shape_f):
-        zf = jnp.zeros(shape_f + (nq,), dtype)
-        zfd = jnp.zeros((4,) + shape_f + (ngl,), dtype)
-        return BtpFaceAvg(dH=zf, QuU=zf, QuV=zf, QvU=zf, QvV=zf,
-                          muL=zf, muR=zf, mu2L=zf, mu2R=zf,
-                          fluxU=zf, fluxV=zf, mue2=zf,
-                          ubL=zf, ubR=zf, vbL=zf, vbR=zf, gvL=zfd, gvR=zfd)
-
-    return BtpAverages(
-        dH=zq, Qu=zq, Qv=zq, Quv=zq, mu=zq, mu2=zq, ub=zq, vb=zq,
-        mfU=zq, mfV=zq, tbU=zq, tbV=zq,
-        mu2_df=zn, ub_df=zn, vb_df=zn,
-        graduvb=jnp.zeros((4, ney, nex, ngl, ngl), dtype),
-        faces=Pair(x=zface((ney, nex + 1)), y=zface((ney + 1, nex))),
-    )
+# stacked-accumulator channel orders (scan carries ONE array per family so
+# each stage is a single fused add instead of ~30 separate HBM round-trips;
+# the BtpAverages view is built once after the scan)
+_VOL_ORDER = ("dH", "Qu", "Qv", "Quv", "mu", "mu2", "ub", "vb",
+              "mfU", "mfV", "tbU", "tbV")
+_NOD_ORDER = ("mu2_df", "ub_df", "vb_df")
+_FACE_ORDER = ("dH", "QuU", "QuV", "QvU", "QvV", "muL", "muR", "mu2L",
+               "mu2R", "fluxU", "fluxV", "mue2", "ubL", "ubR", "vbL", "vbR")
 
 
 def btp_extract_df(bc: BCs, qb_df):
@@ -59,18 +46,20 @@ def btp_extract_df(bc: BCs, qb_df):
 
 
 def btp_volume_rhs(static, P: Precomputed, g: DeviceGeom, coup: CouplingFields,
-                   qb_df, qprime_df):
+                   qb_df, qpl_q):
     """Fused barotropic volume kernel + volume average increments.
 
     Reference create_rhs_btp_volume_qdf (src/mod_rhs_btp.F90:102-209).
-    Returns (rhs (3, nodal) without massinv, dict of average increments).
+    `qpl_q`: bottom-layer primes at quad points (3, quad) — constant over
+    one barotropic solve, interpolated once by the caller.
+    Returns (rhs (3, nodal) without massinv, stacked increments (12, quad)
+    in _VOL_ORDER).
     """
     grav = static.gravity
     qbq = interp_n2q(g, qb_df)                     # (4, quad)
     dp, dpp, udp, vdp = qbq[0], qbq[1], qbq[2], qbq[3]
     # bottom-layer primes (channel 0 carries δdp'; full needed for friction)
-    qpl = interp_n2q(g, qprime_df[:, -1])          # (3, quad)
-    pp, up, vp = P.dpp_ref_q[-1] + qpl[0], qpl[1], qpl[2]
+    pp, up, vp = P.dpp_ref_q[-1] + qpl_q[0], qpl_q[1], qpl_q[2]
 
     ub = udp / dp
     vb = vdp / dp
@@ -108,8 +97,9 @@ def btp_volume_rhs(static, P: Precomputed, g: DeviceGeom, coup: CouplingFields,
     rhs3 = scatter_volume(g, Fx=quv, Fy=dHq + qv, Fs=sc_y)
     rhs = jnp.stack([rhs1, rhs2, rhs3])
 
-    avg_inc = dict(dH=dHq, Qu=qu, Qv=qv, Quv=quv, tbU=tb_u, tbV=tb_v,
-                   mu=mu, mu2=mu2, mfU=udp, mfV=vdp, ub=ub, vb=vb)
+    # stacked in _VOL_ORDER
+    avg_inc = jnp.stack([dHq, qu, qv, quv, mu, mu2, ub, vb, udp, vdp,
+                         tb_u, tb_v])
     return rhs, avg_inc
 
 
@@ -166,11 +156,10 @@ def _face_flux_dir(static, fg, Qe_uu, Qe_uv, Qe_vv, dHe, traces, psiq):
 
     muL = qblq[1] / pbl
     muR = qbrq[1] / pbr
-    inc = dict(dH=dH_face, QuU=quu, QuV=quv, QvU=qvu, QvV=qvv,
-               muL=muL, muR=muR,
-               mu2L=muL * (2.0 + muL), mu2R=muR * (2.0 + muR),
-               fluxU=flux_edge_x, fluxV=flux_edge_y, mue2=mue2,
-               ubL=ul, ubR=ur, vbL=vl, vbR=vr)
+    # stacked in _FACE_ORDER
+    inc = jnp.stack([dH_face, quu, quv, qvu, qvv, muL, muR,
+                     muL * (2.0 + muL), muR * (2.0 + muR),
+                     flux_edge_x, flux_edge_y, mue2, ul, ur, vl, vr])
     return S, inc
 
 
@@ -224,14 +213,14 @@ def btp_nodal_laplacian(static, P: Precomputed, g: DeviceGeom, bc: BCs,
     return rhs_lap, graduv, Pair(gface_x, gface_y)
 
 
-def create_rhs_btp(static, P: Precomputed, g: DeviceGeom, bc: BCs,
-                   coup: CouplingFields, qb_df, qprime_df):
-    """One barotropic RHS evaluation (reference create_rhs_btp,
-    src/mod_rhs_btp.F90:28-59). Returns (rhs (3, nodal), average increments).
-    """
+def _btp_faces_visc(static, P: Precomputed, g: DeviceGeom, bc: BCs,
+                    coup: CouplingFields, qb_df, qprime_df, rhs):
+    """Face fluxes + static δ-form terms + massinv + viscosity — everything
+    in a barotropic RHS evaluation except the volume kernel (reference
+    create_rhs_btp, src/mod_rhs_btp.F90:38-57).
+    Returns (rhs, inc_x (16,Fx,nq), inc_y, graduv (4,nodal),
+    gface Pair of (4,2,F,ngl))."""
     traces = btp_extract_df(bc, qb_df)
-
-    rhs, vol_inc = btp_volume_rhs(static, P, g, coup, qb_df, qprime_df)
 
     fx = P.faces.x
     fy = P.faces.y
@@ -258,38 +247,30 @@ def create_rhs_btp(static, P: Precomputed, g: DeviceGeom, bc: BCs,
         gface = Pair(jnp.zeros((4, 2) + traces[0].xl.shape, qb_df.dtype),
                      jnp.zeros((4, 2) + traces[0].yl.shape, qb_df.dtype))
 
+    return rhs, inc_x, inc_y, graduv, gface
+
+
+def create_rhs_btp(static, P: Precomputed, g: DeviceGeom, bc: BCs,
+                   coup: CouplingFields, qb_df, qprime_df):
+    """One barotropic RHS evaluation (reference create_rhs_btp,
+    src/mod_rhs_btp.F90:28-59). Returns (rhs (3, nodal), stacked average
+    increments)."""
+    qpl_q = interp_n2q(g, qprime_df[:, -1])
+    rhs, vol_inc = btp_volume_rhs(static, P, g, coup, qb_df, qpl_q)
+    rhs, inc_x, inc_y, graduv, gface = _btp_faces_visc(
+        static, P, g, bc, coup, qb_df, qprime_df, rhs)
     return rhs, vol_inc, inc_x, inc_y, graduv, gface
 
 
-def _accumulate(avg: BtpAverages, vol_inc, inc_x, inc_y, graduv, gface,
-                mu2_df_inc, ub_df_inc, vb_df_inc) -> BtpAverages:
-    fx, fy = avg.faces.x, avg.faces.y
+def _averages_view(static, vol, nod, fxa, fya, gvx, gvy, graduvb) -> BtpAverages:
+    """Build the BtpAverages pytree from the stacked accumulators."""
+    def face(fa, gv):
+        return BtpFaceAvg(**dict(zip(_FACE_ORDER, fa)), gvL=gv[0], gvR=gv[1])
 
-    def upd_face(fa: BtpFaceAvg, inc, gv):
-        return fa._replace(
-            dH=fa.dH + inc["dH"], QuU=fa.QuU + inc["QuU"], QuV=fa.QuV + inc["QuV"],
-            QvU=fa.QvU + inc["QvU"], QvV=fa.QvV + inc["QvV"],
-            muL=fa.muL + inc["muL"], muR=fa.muR + inc["muR"],
-            mu2L=fa.mu2L + inc["mu2L"], mu2R=fa.mu2R + inc["mu2R"],
-            fluxU=fa.fluxU + inc["fluxU"], fluxV=fa.fluxV + inc["fluxV"],
-            mue2=fa.mue2 + inc["mue2"],
-            ubL=fa.ubL + inc["ubL"], ubR=fa.ubR + inc["ubR"],
-            vbL=fa.vbL + inc["vbL"], vbR=fa.vbR + inc["vbR"],
-            gvL=fa.gvL + gv[:, 0], gvR=fa.gvR + gv[:, 1],
-        )
-
-    return avg._replace(
-        dH=avg.dH + vol_inc["dH"], Qu=avg.Qu + vol_inc["Qu"], Qv=avg.Qv + vol_inc["Qv"],
-        Quv=avg.Quv + vol_inc["Quv"], mu=avg.mu + vol_inc["mu"],
-        mu2=avg.mu2 + vol_inc["mu2"], ub=avg.ub + vol_inc["ub"],
-        vb=avg.vb + vol_inc["vb"], mfU=avg.mfU + vol_inc["mfU"],
-        mfV=avg.mfV + vol_inc["mfV"], tbU=avg.tbU + vol_inc["tbU"],
-        tbV=avg.tbV + vol_inc["tbV"],
-        mu2_df=avg.mu2_df + mu2_df_inc,
-        ub_df=avg.ub_df + ub_df_inc, vb_df=avg.vb_df + vb_df_inc,
-        graduvb=avg.graduvb + graduv,
-        faces=Pair(upd_face(fx, inc_x, gface.x), upd_face(fy, inc_y, gface.y)),
-    )
+    return BtpAverages(**dict(zip(_VOL_ORDER, vol)),
+                       **dict(zip(_NOD_ORDER, nod)),
+                       graduvb=graduvb,
+                       faces=Pair(face(fxa, gvx), face(fya, gvy)))
 
 
 def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
@@ -297,10 +278,23 @@ def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
     """SSPRK barotropic sub-cycling over N_btp steps x kstages stages.
 
     Reference ti_barotropic_ssprk_mlswe (src/mod_rk_mlswe.F90:19-151).
+    The 23 running averages are carried as 7 stacked accumulator arrays
+    (one fused add per family per stage); when static.use_pallas the fused
+    Pallas volume kernel (ops.pallas_btp) computes the volume RHS and
+    updates the volume/nodal accumulators in place.
     Returns (qb_df at t+dt, normalized BtpAverages).
     """
     dtype = qb_df.dtype
-    avg0 = zero_btp_averages(static, g, dtype)
+    ney, nex = g.wjac.shape[0], g.wjac.shape[1]
+    nq, ngl = g.wjac.shape[-1], g.wjac_df.shape[-1]
+    acc0 = (jnp.zeros((12, ney, nex, nq, nq), dtype),       # volume quad
+            jnp.zeros((3, ney, nex, ngl, ngl), dtype),      # nodal
+            jnp.zeros((16, ney, nex + 1, nq), dtype),       # x-faces
+            jnp.zeros((16, ney + 1, nex, nq), dtype),       # y-faces
+            jnp.zeros((2, 4, ney, nex + 1, ngl), dtype),    # graduv x-faces L/R
+            jnp.zeros((2, 4, ney + 1, nex, ngl), dtype),    # graduv y-faces L/R
+            jnp.zeros((4, ney, nex, ngl, ngl), dtype))      # graduvb nodal
+
     # under shard_map the scan carry must be device-varying from the start
     axes = tuple(a for a in (bc.ax, bc.ay) if a is not None)
 
@@ -310,27 +304,57 @@ def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
         return jax.lax.pcast(x, need, to="varying") if need else x
 
     if axes:
-        avg0 = jax.tree_util.tree_map(_vary, avg0)
+        acc0 = jax.tree_util.tree_map(_vary, acc0)
     a = P.ssprk_a
     beta = P.ssprk_beta
     kstages = static.kstages
 
+    # constant over the whole solve: bottom-layer primes at quad points and
+    # (pallas path) the flattened operator tables + coupling stack
+    qpl_q = interp_n2q(g, qprime_df[:, -1])
+    if static.use_pallas:
+        from ..ops.pallas_btp import (btp_volume_pallas, eflat,
+                                      operators_from_tables)
+
+        ops = operators_from_tables(g, P)
+        qplq_flat = eflat(qpl_q)
+        coup_flat = jnp.stack([eflat(coup.Q_uu_dp), eflat(coup.Q_uv_dp),
+                               eflat(coup.Q_vv_dp), eflat(coup.dH_bcl)])
+
+    def stage_volume(qb1, accv, accn):
+        """Volume RHS + volume/nodal accumulator update for one stage."""
+        if static.use_pallas:
+            rhs_f, accv_f, accn_f = btp_volume_pallas(
+                ops, eflat(qb1), qplq_flat, coup_flat,
+                accv.reshape(12, ney * nex, nq * nq),
+                accn.reshape(3, ney * nex, ngl * ngl),
+                grav=static.gravity, botfr=static.botfr, cd=static.cd_mlswe,
+                alpha_bot=static.alpha_bot,
+                interpret=static.pallas_interpret)
+            rhs = rhs_f.reshape(3, ney, nex, ngl, ngl)
+            return (rhs, accv_f.reshape(12, ney, nex, nq, nq),
+                    accn_f.reshape(3, ney, nex, ngl, ngl))
+        # XLA path: nodal accumulators BEFORE the stage RHS (reference :90-92);
+        # mu2_df = ope_df^2 - 1 stored in conditioned form
+        t_df = qb1[1] * P.one_over_pbprime_df
+        incn = jnp.stack([t_df * (2.0 + t_df),
+                          qb1[2] / qb1[0], qb1[3] / qb1[0]])
+        rhs, vol_inc = btp_volume_rhs(static, P, g, coup, qb1, qpl_q)
+        return rhs, accv + vol_inc, accn + incn
+
     def one_btp_step(carry, _):
-        qb, qb2, avg = carry
+        qb, qb2, accv, accn, afx, afy, agx, agy, agrad = carry
         qb0 = qb
         qb1 = qb
         for ik in range(kstages):
-            # nodal accumulators BEFORE the stage RHS (reference :90-92);
-            # mu2_df = ope_df^2 - 1 stored in conditioned form
-            t_df = qb1[1] * P.one_over_pbprime_df
-            mu2_df_inc = t_df * (2.0 + t_df)
-            ub_df_inc = qb1[2] / qb1[0]
-            vb_df_inc = qb1[3] / qb1[0]
-
-            rhs, vol_inc, inc_x, inc_y, graduv, gface = create_rhs_btp(
-                static, P, g, bc, coup, qb1, qprime_df)
-            avg = _accumulate(avg, vol_inc, inc_x, inc_y, graduv, gface,
-                              mu2_df_inc, ub_df_inc, vb_df_inc)
+            rhs, accv, accn = stage_volume(qb1, accv, accn)
+            rhs, inc_x, inc_y, graduv, gface = _btp_faces_visc(
+                static, P, g, bc, coup, qb1, qprime_df, rhs)
+            afx = afx + inc_x
+            afy = afy + inc_y
+            agx = agx + jnp.swapaxes(gface.x, 0, 1)
+            agy = agy + jnp.swapaxes(gface.y, 0, 1)
+            agrad = agrad + graduv
 
             dtt = static.dt_btp * beta[ik]
             new234 = (a[ik, 0] * qb0[1:4] + a[ik, 1] * qb1[1:4]
@@ -340,14 +364,14 @@ def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
             qb1 = jnp.stack([pb, new234[0], qu, qv])
             if kstages == 5 and ik == 1:
                 qb2 = qb1
-        return (qb1, qb2, avg), None
+        return (qb1, qb2, accv, accn, afx, afy, agx, agy, agrad), None
 
     qb2_0 = jnp.zeros_like(qb_df)
     if axes:
         qb2_0 = _vary(qb2_0)
-    (qb, _, avg), _ = jax.lax.scan(one_btp_step, (qb_df, qb2_0, avg0), None,
-                                   length=static.n_btp)
+    (qb, _, *accs), _ = jax.lax.scan(
+        one_btp_step, (qb_df, qb2_0) + acc0, None, length=static.n_btp)
 
-    n_inv = 1.0 / (kstages * static.n_btp)
-    avg = jax.tree_util.tree_map(lambda x: x * n_inv, avg)
-    return qb, avg
+    n_inv = jnp.asarray(1.0 / (kstages * static.n_btp), dtype)
+    vol, nod, afx, afy, agx, agy, agrad = (acc * n_inv for acc in accs)
+    return qb, _averages_view(static, vol, nod, afx, afy, agx, agy, agrad)

@@ -42,6 +42,8 @@ class StaticConfig:
     alpha_bot: float    # alpha(nlayers), for quadratic bottom drag
     Pstress: float      # wind-stress distribution depth scale (pressure)
     Pbstress: float
+    use_pallas: bool = False      # fused TPU kernels (ops.pallas_btp)
+    pallas_interpret: bool = False  # interpret mode (CPU testing)
 
     @property
     def use_visc(self) -> bool:
@@ -366,44 +368,67 @@ def build_precomputed(cfg: Config, geom: Geometry, dtype, zbot_ext=None) -> tupl
             Hedge_ref=cast(Hke.sum(axis=0)), z_ref_face=cast(z_ref_face),
         )
 
-    # ---- static RHS vectors (f64, via the actual jnp kernels) -----------
+    # ---- static RHS vectors (f64, host NumPy mirrors of the jnp kernels;
+    # NumPy so f32 runs never need jax_enable_x64 — Mosaic TPU kernels are
+    # incompatible with global x64) -------------------------------------
     # Exactly the terms the δ-form kernels drop (docs/float32.md): the
     # reference-state H fluxes + static sources. For a well-balanced case
     # these sum to ~1e-12; for an off-equilibrium IC they are the small
     # initial forcing. Assembled serially (pre-blockify global layout).
-    from ..ops.dg import device_geom as _device_geom, scatter_volume as _sv
-    from .faces import (face_quad_scatter as _fqs, scatter_face_x as _sfx,
-                        scatter_face_y as _sfy)
+    def np_scatter_volume(Fx=None, Fy=None, Fs=None):
+        out = 0.0
+        if Fx is not None or Fy is not None:
+            fx = Fx if Fx is not None else 0.0
+            fy = Fy if Fy is not None else 0.0
+            a_ksi = geom.wjac * (fx * geom.ksiq_x + fy * geom.ksiq_y)
+            a_eta = geom.wjac * (fx * geom.etaq_x + fy * geom.etaq_y)
+            out = np.einsum("...JI,jJ,iI->...ji", a_ksi, geom.psiq, geom.dpsiq,
+                            optimize=True)
+            out = out + np.einsum("...JI,jJ,iI->...ji", a_eta, geom.dpsiq,
+                                  geom.psiq, optimize=True)
+        if Fs is not None:
+            out = out + np.einsum("...JI,jJ,iI->...ji", geom.wjac * Fs,
+                                  geom.psiq, geom.psiq, optimize=True)
+        return out
 
-    g64 = _device_geom(geom, jnp.float64)
-    f64 = lambda a: jnp.asarray(np.asarray(a), dtype=jnp.float64)
+    def np_fqs(jac, flux):
+        return np.einsum("...q,nq->...n", jac * flux, geom.psiq, optimize=True)
+
+    def np_sfx(rhs, S):  # serial mirror of faces.scatter_face_x
+        rhs = rhs.copy()
+        rhs[..., :, :, :, -1] -= S[..., :, 1:, :]
+        w0 = S[..., :, :1, :] if bc.x_periodic else -S[..., :, :1, :]
+        rhs[..., :, :, :, 0] += np.concatenate([w0, S[..., :, 1:-1, :]], axis=-2)
+        return rhs
+
+    def np_sfy(rhs, S):
+        rhs = rhs.copy()
+        rhs[..., :, :, -1, :] -= S[..., 1:, :, :]
+        s0 = S[..., :1, :, :] if bc.y_periodic else -S[..., :1, :, :]
+        rhs[..., :, :, 0, :] += np.concatenate([s0, S[..., 1:-1, :, :]], axis=-3)
+        return rhs
 
     _, trqx, Pex, Hkex = ref_face_tables(lambda fx, fy: fx)
     _, trqy, Pey, Hkey = ref_face_tables(lambda fx, fy: fy)
     Hex, Hey = Hkex.sum(axis=0), Hkey.sum(axis=0)
 
-    rhs2 = _sv(g64, Fx=f64(H_bcl_ref), Fs=f64(-grav * pbprime_q * gzx))
-    rhs3 = _sv(g64, Fy=f64(H_bcl_ref), Fs=f64(-grav * pbprime_q * gzy))
-    S2x = _fqs(g64.psiq, f64(geom.jac_facex), f64(geom.nx_x * Hex))
-    S3x = _fqs(g64.psiq, f64(geom.jac_facex), f64(geom.ny_x * Hex))
-    S2y = _fqs(g64.psiq, f64(geom.jac_facey), f64(geom.nx_y * Hey))
-    S3y = _fqs(g64.psiq, f64(geom.jac_facey), f64(geom.ny_y * Hey))
-    rhs2 = _sfy(_sfx(rhs2, S2x, bc), S2y, bc)
-    rhs3 = _sfy(_sfx(rhs3, S3x, bc), S3y, bc)
-    btp_rhs_ref = np.stack([np.zeros_like(np.asarray(rhs2)),
-                            np.asarray(rhs2), np.asarray(rhs3)])
+    rhs2 = np_scatter_volume(Fx=H_bcl_ref, Fs=-grav * pbprime_q * gzx)
+    rhs3 = np_scatter_volume(Fy=H_bcl_ref, Fs=-grav * pbprime_q * gzy)
+    rhs2 = np_sfy(np_sfx(rhs2, np_fqs(geom.jac_facex, geom.nx_x * Hex)),
+                  np_fqs(geom.jac_facey, geom.nx_y * Hey))
+    rhs3 = np_sfy(np_sfx(rhs3, np_fqs(geom.jac_facex, geom.ny_x * Hex)),
+                  np_fqs(geom.jac_facey, geom.ny_y * Hey))
+    btp_rhs_ref = np.stack([np.zeros_like(rhs2), rhs2, rhs3])
 
     src_x = grav * (P_ref_q[:-1] * gz_ref[0, :-1] - P_ref_q[1:] * gz_ref[0, 1:])
     src_y = grav * (P_ref_q[:-1] * gz_ref[1, :-1] - P_ref_q[1:] * gz_ref[1, 1:])
-    rhs_u = _sv(g64, Fx=f64(Hk_ref_q), Fs=f64(src_x))
-    rhs_v = _sv(g64, Fy=f64(Hk_ref_q), Fs=f64(src_y))
-    SuX = _fqs(g64.psiq, f64(geom.jac_facex), f64(geom.nx_x[None] * Hkex))
-    SvX = _fqs(g64.psiq, f64(geom.jac_facex), f64(geom.ny_x[None] * Hkex))
-    SuY = _fqs(g64.psiq, f64(geom.jac_facey), f64(geom.nx_y[None] * Hkey))
-    SvY = _fqs(g64.psiq, f64(geom.jac_facey), f64(geom.ny_y[None] * Hkey))
-    rhs_u = _sfy(_sfx(rhs_u, SuX, bc), SuY, bc)
-    rhs_v = _sfy(_sfx(rhs_v, SvX, bc), SvY, bc)
-    bcl_rhs_ref = np.stack([np.asarray(rhs_u), np.asarray(rhs_v)])
+    rhs_u = np_scatter_volume(Fx=Hk_ref_q, Fs=src_x)
+    rhs_v = np_scatter_volume(Fy=Hk_ref_q, Fs=src_y)
+    rhs_u = np_sfy(np_sfx(rhs_u, np_fqs(geom.jac_facex, geom.nx_x[None] * Hkex)),
+                   np_fqs(geom.jac_facey, geom.nx_y[None] * Hkey))
+    rhs_v = np_sfy(np_sfx(rhs_v, np_fqs(geom.jac_facex, geom.ny_x[None] * Hkex)),
+                   np_fqs(geom.jac_facey, geom.ny_y[None] * Hkey))
+    bcl_rhs_ref = np.stack([rhs_u, rhs_v])
 
     def cast(a):
         return jnp.asarray(np.asarray(a), dtype=dtype)
@@ -433,7 +458,7 @@ def build_precomputed(cfg: Config, geom: Geometry, dtype, zbot_ext=None) -> tupl
     # at the reference state in fp arithmetic (docs/float32.md). In f64 the
     # host tables already match to roundoff; in f32 recompute on device.
     if dtype != jnp.float64:
-        from ..ops.dg import interp_n2q as _interp
+        from ..ops.dg import device_geom as _device_geom, interp_n2q as _interp
         from .faces import extract_faces as _ef, face_n2q as _fn2q
 
         gdt = _device_geom(geom, dtype)
@@ -466,6 +491,22 @@ def build_precomputed(cfg: Config, geom: Geometry, dtype, zbot_ext=None) -> tupl
         t=jnp.asarray(cfg.t_initial, dtype=dtype), ok=jnp.asarray(True),
     )
 
+    # fused Pallas kernels: default on for f32 TPU runs ("auto"); f64 keeps
+    # the XLA path (Mosaic TPU has no f64); off-TPU backends use interpret
+    # mode only when explicitly requested ("on")
+    import jax as _jax
+    on_tpu = _jax.default_backend() == "tpu"
+    if cfg.use_pallas == "on":
+        use_pallas, interp = True, not on_tpu
+    elif cfg.use_pallas == "auto":
+        # below ~256 elements the per-stage pallas_call overhead exceeds the
+        # fusion win (measured on v5e: 8x8 grid regresses, 32x32 gains ~2x)
+        use_pallas = (dtype == jnp.float32 and on_tpu
+                      and cfg.nelx * cfg.nely >= 256)
+        interp = False
+    else:
+        use_pallas, interp = False, False
+
     static = StaticConfig(
         nlayers=L, kstages=cfg.kstages, n_btp=cfg.n_btp,
         dt=cfg.dt, dt_btp=cfg.dt_btp_eff, gravity=grav,
@@ -476,5 +517,6 @@ def build_precomputed(cfg: Config, geom: Geometry, dtype, zbot_ext=None) -> tupl
         alpha_bot=float(ini.alpha[L - 1]),
         Pstress=float((grav / ini.alpha[0]) * 50.0),
         Pbstress=float((grav / ini.alpha[L - 1]) * 10.0),
+        use_pallas=use_pallas, pallas_interpret=interp,
     )
     return P, state, static, ini

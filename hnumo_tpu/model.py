@@ -29,11 +29,18 @@ class Model:
         """
         self.cfg = cfg
         dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
-        # x64 is always enabled: the δ-formulation's static reference vectors
-        # are assembled in f64 at init even for f32 runs (docs/float32.md);
-        # the compute path uses explicit dtypes throughout.
-        if not jax.config.jax_enable_x64:
+        # f64 validation runs need global x64. f32 runs do NOT enable it:
+        # the δ-formulation's static reference vectors are assembled in f64
+        # with host NumPy (core/init.py), and global x64 breaks Mosaic TPU
+        # kernel lowering (i64 index maps).
+        if dtype == jnp.float64 and not jax.config.jax_enable_x64:
             jax.config.update("jax_enable_x64", True)
+        # TPU MXU defaults f32 dots to one-pass bf16 — far below f32 accuracy
+        # and fatal for the pressure fields (pb ~ 4e5 Pa with ~1e2 signals).
+        # The DG operators are tiny matrices; bandwidth, not MXU throughput,
+        # bounds them, so full-f32 (bf16x3/x6) passes are nearly free.
+        if jax.config.jax_default_matmul_precision is None:
+            jax.config.update("jax_default_matmul_precision", "highest")
         self.dtype = dtype
 
         nop = cfg.nopx

@@ -1,0 +1,220 @@
+"""Pallas TPU kernel: fused barotropic volume RHS + average accumulation.
+
+The innermost hot op of the model: `btp_volume_rhs` + the volume/nodal
+average accumulators run N_btp*kstages times per barotropic solve, twice
+per baroclinic dt (reference create_rhs_btp_volume_qdf,
+src/mod_rhs_btp.F90:102-209, plus the accumulator updates of
+src/mod_rk_mlswe.F90:84-98). The XLA path materializes ~20 quad-sized
+intermediates in HBM per stage; this kernel keeps the whole per-element
+pipeline (node->quad interp, friction/sources, flux tensors, weak-form
+scatter, 12 quad + 3 nodal accumulator adds) VMEM-resident, tiled over
+elements, with the accumulators updated in place via input_output_aliases.
+
+Element-flattened layouts: nodal (C, E, npts) with npts = ngl*ngl, quad
+(C, E, nqq) with nqq = nq*nq. The 2D tensor-product operators become
+single matmuls with Kronecker-product matrices:
+  interp     u_q = u_n @ K,           K[n,Q]  = psi_j(J) psi_i(I)
+  scatter    r_n = a_ksi @ DkT + a_eta @ DeT + s @ KT
+where DkT[Q,n] = psi_j(J) dpsi_i(I), DeT[Q,n] = dpsi_j(J) psi_i(I) — the
+flattened form of ops.dg.scatter_volume. MXU shapes (T,25)@(25,81).
+
+f64 is not supported by Mosaic TPU: the kernel is used for f32 TPU runs
+(the production mode); f64 validation runs keep the XLA path. CPU tests
+run the kernel in interpret mode.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class BtpVolOperators(NamedTuple):
+    """Static flattened tensor-product operator matrices + element tables."""
+
+    K: jnp.ndarray      # (npts, nqq) node->quad interp
+    KT: jnp.ndarray     # (nqq, npts) transpose (quad->node scatter, Fs term)
+    DkT: jnp.ndarray    # (nqq, npts) d/dksi-weighted scatter
+    DeT: jnp.ndarray    # (nqq, npts)
+    met: jnp.ndarray    # (5, E, nqq): ksiq_x, ksiq_y, etaq_x, etaq_y, wjac
+    ptab: jnp.ndarray   # (8, E, nqq): coriolis, tau_u, tau_v, gzx, gzy,
+    #                     one_over_pbprime, dpp_ref_q[-1], H_bcl_ref
+    pbp_df: jnp.ndarray  # (E, npts): 1/pbprime_df (nodal, for mu2_df acc)
+
+
+def eflat(a):
+    """(..., ney, nex, m, m) -> (..., E, m*m): element-flatten (free reshape).
+
+    Works on the LOCAL block under shard_map (everything element-local)."""
+    return a.reshape(a.shape[:-4] + (a.shape[-4] * a.shape[-3],
+                                     a.shape[-2] * a.shape[-1]))
+
+
+def operators_from_tables(g, P) -> BtpVolOperators:
+    """Build the flattened operator tables from device geometry inside jit.
+
+    Cost: a handful of reshapes/stacks per barotropic solve (amortized over
+    N_btp*kstages stage evaluations); keeps the tables shard-local so no
+    extra sharding plumbing is needed.
+    """
+    K = jnp.einsum("jJ,iI->jiJI", g.psiq, g.psiq).reshape(
+        g.psiq.shape[0]**2, g.psiq.shape[1]**2)
+    Dk = jnp.einsum("jJ,iI->jiJI", g.psiq, g.dpsiq).reshape(K.shape)
+    De = jnp.einsum("jJ,iI->jiJI", g.dpsiq, g.psiq).reshape(K.shape)
+    met = jnp.stack([eflat(g.ksiq_x), eflat(g.ksiq_y),
+                     eflat(g.etaq_x), eflat(g.etaq_y), eflat(g.wjac)])
+    ptab = jnp.stack([
+        eflat(P.coriolis_quad),
+        eflat(P.tau_wind[0]), eflat(P.tau_wind[1]),
+        eflat(P.grad_zbot_quad[0]), eflat(P.grad_zbot_quad[1]),
+        eflat(P.one_over_pbprime),
+        eflat(P.dpp_ref_q[-1]), eflat(P.H_bcl_ref)])
+    pbp_df = eflat(P.one_over_pbprime_df)
+    return BtpVolOperators(K=K, KT=K.T, DkT=Dk.T, DeT=De.T,
+                           met=met, ptab=ptab, pbp_df=pbp_df)
+
+
+def _kernel(qb_ref, qpl_ref, met_ref, ptab_ref, coup_ref,
+            K_ref, KT_ref, DkT_ref, DeT_ref, pbp_ref,
+            accv_in, accn_in,
+            rhs_ref, accv_ref, accn_ref,
+            *, grav, botfr, cd, alpha_bot):
+    K, KT, DkT, DeT = K_ref[:], KT_ref[:], DkT_ref[:], DeT_ref[:]
+    pet = qb_ref.dtype
+
+    hi = jax.lax.Precision.HIGHEST  # full-f32 MXU passes (model.py note)
+
+    def n2q(u):
+        return jnp.dot(u, K, preferred_element_type=pet, precision=hi)
+
+    qb = qb_ref[:]                        # (4, T, npts)
+    dp, dpp, udp, vdp = (n2q(qb[c]) for c in range(4))
+    qpl = qpl_ref[:]                      # (3, T, nqq) quad, precomputed
+    ppq, up, vp = qpl[0], qpl[1], qpl[2]
+
+    cor = ptab_ref[0]
+    tau_u, tau_v = ptab_ref[1], ptab_ref[2]
+    gzx, gzy = ptab_ref[3], ptab_ref[4]
+    opbp = ptab_ref[5]
+    pp = ptab_ref[6] + ppq                # full bottom-layer dp'
+    Href = ptab_ref[7]
+
+    inv_dp = 1.0 / dp
+    ub = udp * inv_dp
+    vb = vdp * inv_dp
+
+    if botfr == 1:
+        spd = (cd / grav) * pp
+        tb_u = spd * (up + ub)
+        tb_v = spd * (vp + vb)
+    elif botfr == 2:
+        ubot, vbot = up + ub, vp + vb
+        spd = (cd / alpha_bot) * jnp.sqrt(ubot * ubot + vbot * vbot)
+        tb_u = spd * ubot
+        tb_v = spd * vbot
+    else:
+        tb_u = jnp.zeros_like(dp)
+        tb_v = jnp.zeros_like(dp)
+
+    sc_x = cor * vdp + grav * (tau_u - tb_u) - grav * dpp * gzx
+    sc_y = -cor * udp + grav * (tau_v - tb_v) - grav * dpp * gzy
+
+    Quu, Quv, Qvv, dHbcl = (coup_ref[c] for c in range(4))
+    mu = dpp * opbp
+    mu2 = mu * (2.0 + mu)
+    ope = 1.0 + mu
+    dHq = dHbcl + mu2 * (Href + dHbcl)
+    qu = ub * udp + ope * Quu
+    quv = ub * vdp + ope * Quv
+    qv = vb * vdp + ope * Qvv
+
+    kx, ky, ex_, ey_, wj = (met_ref[c] for c in range(5))
+
+    def scatter(Fx, Fy, Fs):
+        a_ksi = wj * (Fx * kx + Fy * ky)
+        a_eta = wj * (Fx * ex_ + Fy * ey_)
+        r = jnp.dot(a_ksi, DkT, preferred_element_type=pet, precision=hi)
+        r += jnp.dot(a_eta, DeT, preferred_element_type=pet, precision=hi)
+        if Fs is not None:
+            r += jnp.dot(wj * Fs, KT, preferred_element_type=pet, precision=hi)
+        return r
+
+    rhs_ref[0] = scatter(udp, vdp, None)
+    rhs_ref[1] = scatter(dHq + qu, quv, sc_x)
+    rhs_ref[2] = scatter(quv, dHq + qv, sc_y)
+
+    # volume averages (reference src/mod_rhs_btp.F90:183-192)
+    accv = accv_in[:]
+    inc = jnp.stack([dHq, qu, qv, quv, mu, mu2, ub, vb, udp, vdp, tb_u, tb_v])
+    accv_ref[:] = accv + inc
+
+    # nodal averages, computed from the PRE-stage qb (reference :90-92)
+    t_df = qb[1] * pbp_ref[:]
+    inv_pb = 1.0 / qb[0]
+    incn = jnp.stack([t_df * (2.0 + t_df), qb[2] * inv_pb, qb[3] * inv_pb])
+    accn_ref[:] = accn_in[:] + incn
+
+
+def _pick_tile(E: int) -> int:
+    """Largest divisor of E that is <= 128 (fits VMEM with full-f32 matmul
+    scratch; 256 tiles overflow the 16M scoped-vmem limit on v5e)."""
+    best = 1
+    for t in range(1, min(E, 128) + 1):
+        if E % t == 0:
+            best = t
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("grav", "botfr", "cd",
+                                             "alpha_bot", "interpret"))
+def btp_volume_pallas(ops: BtpVolOperators, qb_n, qpl_n, coup_q,
+                      accv, accn, *, grav, botfr, cd, alpha_bot,
+                      interpret=False):
+    """Run the fused volume kernel.
+
+    qb_n: (4, E, npts) nodal barotropic state; qpl_n: (3, E, nqq) bottom
+    layer primes AT QUAD POINTS (channel 0 = δdp'; constant over a solve);
+    coup_q: (4, E, nqq) coupling fields (Quu, Quv, Qvv, dH_bcl);
+    accv: (12, E, nqq); accn: (3, E, npts).
+    Returns (rhs (3, E, npts) without massinv, accv', accn').
+    """
+    E, npts = qb_n.shape[1], qb_n.shape[2]
+    nqq = coup_q.shape[2]
+    T = _pick_tile(E)
+    grid = (E // T,)
+    dtype = qb_n.dtype
+
+    # index-map constants must be i32 even under jax_enable_x64 (weak i64
+    # constants make Mosaic's func.return fail to legalize)
+    z = np.int32(0)
+
+    def eb(c, n):  # element-blocked spec for (c, E, n) arrays
+        return pl.BlockSpec((c, T, n), lambda i: (z, i, z),
+                            memory_space=pltpu.VMEM)
+
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel, grav=grav, botfr=botfr, cd=cd,
+                               alpha_bot=alpha_bot)
+    rhs, accv2, accn2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[eb(4, npts), eb(3, nqq), eb(5, nqq), eb(8, nqq),
+                  eb(4, nqq), full, full, full, full,
+                  pl.BlockSpec((T, npts), lambda i: (i, z),
+                               memory_space=pltpu.VMEM),
+                  eb(12, nqq), eb(3, npts)],
+        out_specs=[eb(3, npts), eb(12, nqq), eb(3, npts)],
+        out_shape=[jax.ShapeDtypeStruct((3, E, npts), dtype),
+                   jax.ShapeDtypeStruct((12, E, nqq), dtype),
+                   jax.ShapeDtypeStruct((3, E, npts), dtype)],
+        input_output_aliases={10: 1, 11: 2},
+        interpret=interpret,
+    )(qb_n, qpl_n, ops.met, ops.ptab, coup_q,
+      ops.K, ops.KT, ops.DkT, ops.DeT, ops.pbp_df, accv, accn)
+    return rhs, accv2, accn2

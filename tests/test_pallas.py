@@ -1,0 +1,97 @@
+"""Fused Pallas barotropic volume kernel vs the XLA path (interpret mode).
+
+The kernel (ops/pallas_btp.py) must reproduce btp_volume_rhs + the
+volume/nodal accumulator updates exactly (same operations, same order up to
+matmul reassociation)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hnumo_tpu.config import Config
+from hnumo_tpu.model import Model
+
+
+def _setup(dtype, botfr):
+    cfg = Config(nelx=6, nely=5, nopx=4, nopy=4, xdims=(0.0, 2e6),
+                 ydims=(0.0, 2e6), nlayers=2, dt=400.0, dt_btp=20.0,
+                 time_final=1e9, test_case="double_gyre", f0=9.3e-5,
+                 beta=2e-11, botfr=botfr, cd_mlswe=1e-7,
+                 method_visc=2, visc_mlswe=100.0, dtype=dtype)
+    return Model(cfg)
+
+
+@pytest.mark.parametrize("botfr", [0, 1, 2])
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+def test_volume_kernel_parity(dtype, botfr):
+    from hnumo_tpu.core.bcl import extract_qprime_faces
+    from hnumo_tpu.core.btp import _VOL_ORDER, btp_volume_rhs
+    from hnumo_tpu.core.coupling import btp_bcl_coeffs
+    from hnumo_tpu.ops.dg import interp_n2q
+    from hnumo_tpu.ops.pallas_btp import (btp_volume_pallas, eflat,
+                                          operators_from_tables)
+
+    m = _setup(dtype, botfr)
+    static, P, g, bc = m.static, m.P, m.g, m.bc
+    s = m.state0
+    # perturb the state so the test is not all-zeros
+    rng = np.random.default_rng(0)
+    qb = s.qb_df + jnp.asarray(
+        1e-3 * np.abs(rng.normal(size=s.qb_df.shape)), m.dtype)
+    qp = s.qprime_df + jnp.asarray(
+        1e-4 * rng.normal(size=s.qprime_df.shape), m.dtype)
+
+    qpf = extract_qprime_faces(bc, qp)
+    zq = jnp.zeros_like(interp_n2q(g, qp[0]))
+    coup = btp_bcl_coeffs(static, P, g, bc, qp, qpf, qp[0], zq)
+    qpl_q = interp_n2q(g, qp[:, -1])
+
+    rhs_ref, vinc_ref = btp_volume_rhs(static, P, g, coup, qb, qpl_q)
+    t_df = qb[1] * P.one_over_pbprime_df
+    ninc_ref = jnp.stack([t_df * (2.0 + t_df), qb[2] / qb[0], qb[3] / qb[0]])
+
+    ney, nex = g.wjac.shape[:2]
+    nq, ngl = g.wjac.shape[-1], g.wjac_df.shape[-1]
+    E = ney * nex
+    accv0 = jnp.asarray(rng.normal(size=(12, E, nq * nq)), m.dtype)
+    accn0 = jnp.asarray(rng.normal(size=(3, E, ngl * ngl)), m.dtype)
+
+    ops = operators_from_tables(g, P)
+    coup_flat = jnp.stack([eflat(coup.Q_uu_dp), eflat(coup.Q_uv_dp),
+                           eflat(coup.Q_vv_dp), eflat(coup.dH_bcl)])
+    rhs, accv, accn = btp_volume_pallas(
+        ops, eflat(qb), eflat(qpl_q), coup_flat, accv0, accn0,
+        grav=static.gravity, botfr=static.botfr, cd=static.cd_mlswe,
+        alpha_bot=static.alpha_bot, interpret=True)
+
+    tol = 1e-12 if dtype == "float64" else 2e-5
+    ref = np.asarray(rhs_ref.reshape(3, E, ngl * ngl))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(rhs), ref, atol=tol * scale)
+    vref = np.asarray(vinc_ref.reshape(12, E, nq * nq)) + np.asarray(accv0)
+    np.testing.assert_allclose(np.asarray(accv), vref,
+                               atol=tol * np.abs(vref).max(), rtol=tol * 10)
+    nref = np.asarray(ninc_ref.reshape(3, E, ngl * ngl)) + np.asarray(accn0)
+    np.testing.assert_allclose(np.asarray(accn), nref,
+                               atol=tol * np.abs(nref).max(), rtol=tol * 10)
+    assert [f for f in _VOL_ORDER] == list(_VOL_ORDER)  # order contract
+
+
+def test_full_step_with_pallas_interpret_matches_xla():
+    """End-to-end: 2 baroclinic steps with the Pallas volume kernel
+    (interpret) match the XLA path."""
+    m_x = _setup("float64", 1)
+    cfg_p = Config(**{**m_x.cfg.__dict__, "use_pallas": "on"})
+    m_p = Model(cfg_p)
+    assert m_p.static.use_pallas and m_p.static.pallas_interpret
+
+    s_x = m_x.state0
+    s_p = m_p.state0
+    for _ in range(2):
+        s_x = m_x.step(s_x)
+        s_p = m_p.step(s_p)
+    for name in ("qb_df", "q_df", "qprime_df"):
+        a = np.asarray(getattr(s_x, name))
+        b = np.asarray(getattr(s_p, name))
+        np.testing.assert_allclose(b, a, atol=1e-11 * max(np.abs(a).max(), 1),
+                                   err_msg=name)
