@@ -81,6 +81,11 @@ for k in range(cfg.nlayers - 1, -1, -1):
 ssh = np.stack(elev[:cfg.nlayers])
 
 fails = 0
+full_run = nsteps == m.nsteps_total
+# field gate applies only to the full 108-step run (the goldens are the
+# reference's t=10800 s state); relative-error head-room: round-1 measured
+# <=3.7e-7 (f64) / f32 runs carry fp32 accumulation noise
+field_gate = 5e-3 if args.f32 else 1e-5
 for k in range(cfg.nlayers):
     ml = abs(mass[k] - mass0[k]) / mass0[k]
     # f32 telescoping leaks at fp32-eps scale (docs/float32.md); the 1e-12
@@ -96,6 +101,11 @@ for k in range(cfg.nlayers):
         scale = max(abs(gmax), abs(gmin), 1e-30)
         emax = abs(amax - gmax) / scale
         emin = abs(amin - gmin) / scale
+        if full_run and max(emax, emin) >= field_gate:
+            fails += 1
         print(f"  {name:4s} max {amax: .9e} (ref { gmax: .9e}, rel {emax:.2e})  "
               f"min {amin: .9e} (ref {gmin: .9e}, rel {emin:.2e})")
 print("FAILS:", fails)
+# hard-fail like the reference CI (CI/bump/check.F90:58-74 aborts the
+# workflow on mass loss / mismatch)
+sys.exit(1 if fails else 0)

@@ -156,8 +156,48 @@ def parse_namelist(path: str | Path) -> dict:
     return values
 
 
+# Reference namelist members (src/mod_input.F90:320-381) that are accepted
+# but have no effect on the MLSWE/TPU build: NUMA-3D lineage (z dims, sponge,
+# filter, OCCA/GPU plumbing), AMR scaffolding inert in every shipped case
+# (refinement_levels_h=0), and legacy grid-creation switches. Anything not in
+# this set and not a Config field triggers a warning (a typo'd key must not
+# silently become "feature off").
+_INERT_REFERENCE_KEYS = frozenset("""
+    eqn_set is_mlswe nelz nopz ztop zbottom nproc_z z_boundary
+    x_periodic y_periodic z_periodic bc_tscale bc_xscale bc_yscale bc_zscale
+    sponge_type sponge_top_coe sponge_lateralx_coe sponge_lateralx_coe_east
+    sponge_lateralx_coe_west sponge_lateraly_coe lsommerfeld lgrid_only
+    is_non_conforming_flg p4est_log_level xlim_min xlim_max ylim_min ylim_max
+    zlim_min zlim_max amr_indicator_variables amr_smoothness_limits
+    amr_max_min_lim amr_threshold_lim amr_smoothness_ql2_limit
+    amr_mark_max_min amr_mark_random amr_mark_threshold amr_mark_modes
+    amr_mark_modes_use_baseline_decay amr_num_neigh_iter amr_mark_set2nc
+    lserial_grid_creation lparallel_grid_creation lwrite_grid_ascii
+    refinement_levels_h nel_root_h xstretch_coe ystretch_coe zstretch_coe
+    lxstretch lystretch lzstretch restoring_time lrestoring_sponge
+    time_dynamic_amr dt0 dt1 dt2 filter_mux filter_muy filter_muz ifilter
+    filter_weight_type filter_basis_type filter_tracers_flg lout_ascii
+    lout_asciimaya nvtk_files vtk_cell_type write_mesh fname_initial
+    restart_path ladapt_timestep iprint_diagnostics bcast_type imass
+    lgpu numaocca_dir nelems nslices nslicesv vectorization platform
+    platformid deviceid platformweight platform2 platformid2 deviceid2
+    platformweight2 cpus_per_node gpus_per_node threads_per_process
+    luse_hybrid_cpu_gpu gravity_in limit_threshold ibathymetry
+    dp_tau_bot dp_tau_wind adjust_h_vertical_sum adjust_bcl_mom_flux
+    lread_bc
+""".split())
+
+
 def config_from_namelist(path: str | Path, **overrides) -> Config:
-    """Build a Config from a reference-format numo3d.in file."""
+    """Build a Config from a reference-format numo3d.in file.
+
+    Unrecognized keys warn (reference `read(funit, input)` would hard-error
+    on them, src/mod_input.F90:387 — a silent drop would turn a typo'd
+    `visc_mlswe` into "viscosity off"); known-but-inert reference keys are
+    accepted silently.
+    """
+    import warnings
+
     raw = parse_namelist(path)
     field_names = {f.name for f in dataclasses.fields(Config)}
     kwargs = {}
@@ -166,5 +206,8 @@ def config_from_namelist(path: str | Path, **overrides) -> Config:
             if name in ("xdims", "ydims", "x_boundary", "y_boundary"):
                 val = tuple(val) if isinstance(val, tuple) else (val, val)
             kwargs[name] = val
+        elif name not in _INERT_REFERENCE_KEYS:
+            warnings.warn(f"{path}: unrecognized namelist key {name!r} "
+                          "ignored", stacklevel=2)
     kwargs.update(overrides)
     return Config(**kwargs)

@@ -28,13 +28,21 @@ def _build_lib() -> Path | None:
         return None
     if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
         return out
+    # Never fall back to a stale .so older than the source (an ABI/behavior
+    # change in qmesh.cpp must not be silently masked): compile to a unique
+    # temp file and atomically rename on success; on any failure return None
+    # so callers use the pure-Python oracle. The temp+rename also makes
+    # concurrent builds (e.g. pytest-xdist) safe.
     out.parent.mkdir(parents=True, exist_ok=True)
+    tmp = out.with_suffix(f".tmp{os.getpid()}.so")
     cmd = ["g++", "-O2", "-std=c++17", "-fPIC", "-shared",
-           "-o", str(out), str(src)]
+           "-o", str(tmp), str(src)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, out)
     except Exception:
-        return out if out.exists() else None
+        tmp.unlink(missing_ok=True)
+        return None
     return out
 
 

@@ -31,6 +31,7 @@ class GmshMesh:
     boundary_edges: np.ndarray  # (nboun, 3) int: node0, node1, physical tag
     bc_map: dict[int, int]      # physical tag -> BC code (from $BC section)
     bathy: np.ndarray | None = None  # (nnodes,) depths, from $Bathy
+    node_ids: np.ndarray | None = None  # (nnodes,) original gmsh node ids
 
 
 def read_msh(path, native: bool | None = None) -> GmshMesh:
@@ -51,13 +52,16 @@ def read_msh(path, native: bool | None = None) -> GmshMesh:
             if _native.available():
                 nodes, node_ids, quads, bedges, bc_map = _native.read_msh(path)
                 bathy = None
+                # stream-scan for the section marker (don't slurp the whole
+                # file the native parser exists to handle efficiently)
                 with open(path) as f:
-                    if "$Bathy" in f.read():
-                        id_to_idx = {int(v): k for k, v in enumerate(node_ids)}
-                        bathy = read_bathy(path, len(nodes), id_to_idx)
+                    has_bathy = any(ln.strip() == "$Bathy" for ln in f)
+                if has_bathy:
+                    id_to_idx = {int(v): k for k, v in enumerate(node_ids)}
+                    bathy = read_bathy(path, len(nodes), id_to_idx)
                 return GmshMesh(nodes=nodes, quads=quads,
                                 boundary_edges=bedges, bc_map=bc_map,
-                                bathy=bathy)
+                                bathy=bathy, node_ids=node_ids)
         except (RuntimeError, OSError):
             if native:
                 raise
@@ -130,21 +134,27 @@ def read_msh(path, native: bool | None = None) -> GmshMesh:
         bathy = read_bathy(path, nnodes, id_to_idx)
 
     return GmshMesh(nodes=nodes, quads=quads, boundary_edges=bedges,
-                    bc_map=bc_map, bathy=bathy)
+                    bc_map=bc_map, bathy=bathy, node_ids=node_ids)
 
 
 def read_bathy(path, nnodes, id_to_idx=None) -> np.ndarray:
     """Read a `$Bathy` section: header line, then `nnodes` lines "ip z"
-    (reference read_bathy, src/read_gmsh.F90:178-207)."""
-    with open(path) as f:
-        lines = [ln.strip() for ln in f.read().splitlines()]
-    i = lines.index("$Bathy") + 2  # skip section name + header line
+    (reference read_bathy, src/read_gmsh.F90:178-207). Streams to the
+    section marker instead of slurping the file; node ids map through
+    `id_to_idx` when given (sparse gmsh ids), else assume dense 1-based."""
     bathy = np.zeros(nnodes)
-    for k in range(nnodes):
-        parts = lines[i + k].split()
-        ip = int(parts[0])
-        idx = id_to_idx[ip] if id_to_idx else ip - 1
-        bathy[idx] = float(parts[1])
+    with open(path) as f:
+        for ln in f:
+            if ln.strip() == "$Bathy":
+                break
+        else:
+            raise ValueError(f"{path}: no $Bathy section")
+        next(f)  # header line
+        for _ in range(nnodes):
+            parts = next(f).split()
+            ip = int(parts[0])
+            idx = id_to_idx[ip] if id_to_idx else ip - 1
+            bathy[idx] = float(parts[1])
     return bathy
 
 
@@ -296,7 +306,7 @@ def boundary_bc_codes(mesh: GmshMesh, corners: np.ndarray) -> tuple[int, int, in
 
 def geometry_from_msh(path, nop: int, exact_integration: bool = True,
                       bc: tuple[int, int, int, int] | None = None,
-                      bathy_path=None):
+                      bathy_path=None, use_bathy: bool = True):
     """Build a curvilinear Geometry (+ optional nodal bathymetry) from a
     gmsh file: bilinear LGL node population (the reference's a-posteriori
     high-order fill, src/read_gmsh.F90:249-330) then isoparametric metrics.
@@ -304,7 +314,9 @@ def geometry_from_msh(path, nop: int, exact_integration: bool = True,
     `bathy_path`: optional separate file with a `$Bathy` section of
     per-linear-node bottom elevations (reference read_bathy,
     src/read_gmsh.F90:178-207); an in-file `$Bathy` section also works.
-    Returns (Geometry, zbot_nodal_or_None).
+    `use_bathy=False` (lread_external_bathy=.false.) ignores BOTH sources so
+    the config flag actually gates the override of the test case's analytic
+    bathymetry. Returns (Geometry, zbot_nodal_or_None).
     """
     from .grid import build_geometry_from_corners
 
@@ -314,9 +326,12 @@ def geometry_from_msh(path, nop: int, exact_integration: bool = True,
         bc = boundary_bc_codes(mesh, corner_idx)
     geom = build_geometry_from_corners(cc, nop, bc=bc,
                                        exact_integration=exact_integration)
-    bathy = mesh.bathy
-    if bathy_path:
-        bathy = read_bathy(bathy_path, len(mesh.nodes))
+    bathy = mesh.bathy if use_bathy else None
+    if use_bathy and bathy_path:
+        # map through the mesh's node-id table (gmsh ids may be sparse)
+        id_to_idx = (None if mesh.node_ids is None else
+                     {int(v): k for k, v in enumerate(mesh.node_ids)})
+        bathy = read_bathy(bathy_path, len(mesh.nodes), id_to_idx)
     zbot = None
     if bathy is not None:
         zbot = _bilinear_to_nodal(bathy[corner_idx], geom)

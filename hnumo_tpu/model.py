@@ -55,7 +55,8 @@ class Model:
             self.geom, zbot_ext = geometry_from_msh(
                 cfg.mesh_file, nop, exact_integration=cfg.dg_integ_exact,
                 bathy_path=(cfg.bathymetry_file
-                            if cfg.lread_external_bathy else None))
+                            if cfg.lread_external_bathy else None),
+                use_bathy=cfg.lread_external_bathy)
             bc = self.geom.bc
             if zbot_ext is not None and cfg.bathymetry_shift:
                 zbot_ext = zbot_ext + cfg.bathymetry_shift
