@@ -62,10 +62,21 @@ class Config:
     lread_external_bathy: bool = False
     bathymetry_file: str = ""
     bathymetry_shift: float = 0.0
+    # bc.inp patch reader (reference src/mod_bc.F90:97-221, gated by
+    # lread_bc at src/mod_p4est.F90:433-435); applied by config_from_namelist
+    lread_bc: bool = False
 
     # --- non-reference extensions ---
     dtype: str = "float64"         # compute dtype ("float64" validation, "float32" perf)
     use_pallas: str = "auto"       # fused TPU kernels: "auto" | "on" | "off"
+    # Reproduce the reference's wind/bottom-stress vertical distribution
+    # VERBATIM, including its indexing slip (src/mod_create_rhs_mlswe.F90:
+    # 380-382: the pressure accumulator adds the LAST layer's (dp',u',v')
+    # components instead of layer k's dp') — for bit-level A/B parity studies
+    # against the reference binary on wind-forced runs. Default False =
+    # the documented intent (cumulative prime pressure). Inert for all
+    # golden-gated cases (zero wind/bottom stress there).
+    compat_reference_stress: bool = False
 
     def __post_init__(self):
         # normalize periodic coupling (reference src/mod_input.F90:449-465)
@@ -184,7 +195,6 @@ _INERT_REFERENCE_KEYS = frozenset("""
     platformweight2 cpus_per_node gpus_per_node threads_per_process
     luse_hybrid_cpu_gpu gravity_in limit_threshold ibathymetry
     dp_tau_bot dp_tau_wind adjust_h_vertical_sum adjust_bcl_mom_flux
-    lread_bc
 """.split())
 
 
@@ -210,4 +220,14 @@ def config_from_namelist(path: str | Path, **overrides) -> Config:
             warnings.warn(f"{path}: unrecognized namelist key {name!r} "
                           "ignored", stacklevel=2)
     kwargs.update(overrides)
-    return Config(**kwargs)
+    cfg = Config(**kwargs)
+    if cfg.lread_bc:
+        # reference opens bc.inp from the working directory
+        # (src/mod_bc.F90:119); we resolve it next to the namelist
+        from .mesh.bcinp import read_bc_inp
+
+        xb, yb = read_bc_inp(Path(path).parent / "bc.inp", cfg.nelx, cfg.nely,
+                             cfg.xdims, cfg.ydims, cfg.x_boundary,
+                             cfg.y_boundary)
+        cfg = dataclasses.replace(cfg, x_boundary=xb, y_boundary=yb)
+    return cfg

@@ -210,8 +210,19 @@ def layer_momentum_volume(static, P: Precomputed, g: DeviceGeom,
 
     # wind/bottom stress vertical distribution (reference :424-431)
     dpp_full = P.dpp_ref_q + qp[0]
-    pp_lower = jnp.cumsum(dpp_full, axis=0)
-    pp_upper = pp_lower - dpp_full
+    if static.compat_reference_stress:
+        # verbatim reference slip (src/mod_create_rhs_mlswe.F90:380-382):
+        # pprime_temp(k+1) = pprime_temp(k) + qp(k) where qp still holds the
+        # LAST layer's (dp', u', v') 3-vector from the preceding loop, so the
+        # k-th increment is component k of (dp'_L, u'_L, v'_L) — full dp'
+        # for k=1, the raw velocity primes for k=2,3 (L<=3 enforced at init)
+        comps = jnp.stack([dpp_full[-1]] + [qp[c][-1] for c in (1, 2)][:L - 1])
+        pp_lower = jnp.cumsum(comps[:L], axis=0)
+        pp_upper = pp_lower - comps[:L]
+    else:
+        # documented intent: cumulative prime pressure sum_j<=k dp'_j
+        pp_lower = jnp.cumsum(dpp_full, axis=0)
+        pp_upper = pp_lower - dpp_full
     Ps, Pb = static.Pstress, static.Pbstress
     temp1 = (jnp.minimum(pp_lower, Ps) - jnp.minimum(pp_upper, Ps)) / Ps
     tau_u = temp1 * P.tau_wind[0][None]
@@ -331,57 +342,64 @@ def layer_momentum_fluxes(static, P: Precomputed, g: DeviceGeom, bc: BCs,
 
         Dz_ref = Zr[:-1] - Zr[1:]                # (L, F, nq) ref layer heights
         Vref = Pe[1:] + Pe[:-1]                  # (L, F, nq)
-        eye = jnp.eye(L, dtype=bool).reshape(L, L, 1, 1, 1)
+        onehot = jnp.arange(L).reshape((L, 1, 1, 1))
 
         def overlap_dH(pi_src, zeta_src, zeta_tgt):
             """δ of the layer-intersection H-from-source (:668-684).
 
-            target layer k (axis 0) from source layers kt (axis 1).
-            The intersection length min(tops) - max(bots) equals the MINIMUM
-            of the four pairwise (top_i - bot_j) differences; each candidate
-            is computed as (exact reference-table part) + (ζ perturbation),
-            and the perturbed overlap length dz - Dz_ref_overlap is carried
-            through the branch select, so no eps·|z_ref| cancellation noise
-            ever forms (docs/float32.md).
+            Loops over source layers kt accumulating into target-sized
+            (L, F, nq) arrays — O(L) memory instead of materializing the
+            full (L, L, F, nq) pair tensor (VERDICT r1 item 6; the
+            reference's nlayers² per-point loop, :662-707, has the same
+            O(L²) work but O(1) storage). The intersection length
+            min(tops) - max(bots) equals the MINIMUM of the four pairwise
+            (top_i - bot_j) differences; each candidate is computed as
+            (exact reference-table part) + (ζ perturbation), and the
+            perturbed overlap length dz - Dz_ref_overlap is carried through
+            the branch select, so no eps·|z_ref| cancellation noise ever
+            forms (docs/float32.md).
             """
-            zs_u, zs_l = zeta_src[None, :-1], zeta_src[None, 1:]   # source kt
-            zt_u, zt_l = zeta_tgt[:-1, None], zeta_tgt[1:, None]   # target k
-            # 4 candidates (ref part, ζ part): s_top/t_top minus s_bot/t_bot
-            R1 = jnp.broadcast_to(Dz_ref[None], eye.shape[:2] + Dz_ref.shape[1:])
-            p1 = jnp.broadcast_to(zs_u - zs_l, R1.shape)
-            R2 = jnp.broadcast_to(Dz_ref[:, None], R1.shape)
-            p2 = jnp.broadcast_to(zt_u - zt_l, R1.shape)
-            R3 = jnp.broadcast_to(Zr[None, :-1] - Zr[1:, None], R1.shape)
-            p3 = jnp.broadcast_to(zs_u - zt_l, R1.shape)
-            R4 = jnp.broadcast_to(Zr[:-1, None] - Zr[None, 1:], R1.shape)
-            p4 = jnp.broadcast_to(zt_u - zs_l, R1.shape)
+            zt_u, zt_l = zeta_tgt[:-1], zeta_tgt[1:]     # target k (L, F, nq)
+            R2, p2 = Dz_ref, zt_u - zt_l
 
             def take_min(Ra, pa, Rb, pb):
                 a_lt = (Ra + pa) < (Rb + pb)
                 return jnp.where(a_lt, Ra, Rb), jnp.where(a_lt, pa, pb)
 
-            Rm, pm = take_min(*take_min(R1, p1, R2, p2), *take_min(R3, p3, R4, p4))
-            Dzov = jnp.minimum(jnp.minimum(R1, R2), jnp.minimum(R3, R4))
-            ddz_ov = pm + (Rm - Dzov)            # dz - Dzov, conditioned
-            mask = (Dzov + ddz_ov) > 0.0
+            tot = jnp.zeros_like(zt_u)
+            for kt in range(L):
+                ga_s = grav / alpha[kt]
+                al_s = alpha[kt]
+                zs_u, zs_l = zeta_src[kt], zeta_src[kt + 1]   # (F, nq)
+                # 4 candidates (ref part, ζ part): s/t tops minus s/t bots
+                R1 = jnp.broadcast_to(Dz_ref[kt], R2.shape)
+                p1 = jnp.broadcast_to(zs_u - zs_l, R2.shape)
+                R3 = Zr[kt] - Zr[1:]
+                p3 = zs_u - zt_l
+                R4 = Zr[:-1] - Zr[kt + 1]
+                p4 = zt_u - zs_l
 
-            ga_s = g_a[None]                     # per source layer kt
-            # u - U with U = ga·max(Dzov, 0) (ref overlap; >0 only on-diagonal)
-            umU = ga_s * (ddz_ov + jnp.minimum(Dzov, 0.0))
-            U = jnp.where(Dzov > 0.0, ga_s * Dzov, 0.0)
-            # π at the (clamped) bottom of the intersection, source side:
-            # z_bot - z_low_src = relu(-A_bot), A_bot conditioned
-            A_bot = (Zr[None, 1:] - Zr[1:, None]) + (zs_l - zt_l)
-            pi_bot = pi_src[None, 1:] - ga_s * jnp.maximum(-A_bot, 0.0)
-            # v = p_bot + p_top anchored per pair: diagonal vs V_ref (so
-            # U·(v-V) is exact), off-diagonal vs 2·P_ref[kt+1] (U=0 there)
-            vmV = 2.0 * pi_bot - umU
-            v = jnp.where(eye, Vref[None], 2.0 * Pe[None, 1:]) + vmV
-            al_s = alpha.reshape((1, L, 1, 1, 1))
-            d_contrib = 0.5 * al_s * (umU * v + U * vmV)
-            # mask=False: contribution is 0, so δ = -reference piece (diag only)
-            d_contrib = jnp.where(mask, d_contrib, -0.5 * al_s * U * Vref[None])
-            return jnp.sum(d_contrib, axis=1)    # (L, F, nq)
+                Rm, pm = take_min(*take_min(R1, p1, R2, p2),
+                                  *take_min(R3, p3, R4, p4))
+                Dzov = jnp.minimum(jnp.minimum(R1, R2), jnp.minimum(R3, R4))
+                ddz_ov = pm + (Rm - Dzov)        # dz - Dzov, conditioned
+                mask = (Dzov + ddz_ov) > 0.0
+
+                # u - U with U = ga·max(Dzov, 0) (>0 only on-diagonal)
+                umU = ga_s * (ddz_ov + jnp.minimum(Dzov, 0.0))
+                U = jnp.where(Dzov > 0.0, ga_s * Dzov, 0.0)
+                # π at the (clamped) bottom of the intersection, source side:
+                # z_bot - z_low_src = relu(-A_bot), A_bot conditioned
+                A_bot = (Zr[kt + 1] - Zr[1:]) + (zs_l - zt_l)
+                pi_bot = pi_src[kt + 1] - ga_s * jnp.maximum(-A_bot, 0.0)
+                # v = p_bot + p_top anchored per pair: diagonal vs V_ref (so
+                # U·(v-V) is exact), off-diagonal vs 2·P_ref[kt+1] (U=0 there)
+                vmV = 2.0 * pi_bot - umU
+                v = jnp.where(onehot == kt, Vref, 2.0 * Pe[kt + 1]) + vmV
+                contrib = 0.5 * al_s * (umU * v + U * vmV)
+                # mask=False: contribution is 0, so δ = -ref piece (diag only)
+                tot = tot + jnp.where(mask, contrib, -0.5 * al_s * U * Vref)
+            return tot                           # (L, F, nq)
 
         dHfL = 0.5 * (dH_plus + overlap_dH(piE_R, zE_R, zE_L))
         dHfR = 0.5 * (dH_minus + overlap_dH(piE_L, zE_L, zE_R))

@@ -44,6 +44,7 @@ class StaticConfig:
     Pbstress: float
     use_pallas: bool = False      # fused TPU kernels (ops.pallas_btp)
     pallas_interpret: bool = False  # interpret mode (CPU testing)
+    compat_reference_stress: bool = False  # verbatim reference stress slip
 
     @property
     def use_visc(self) -> bool:
@@ -518,5 +519,9 @@ def build_precomputed(cfg: Config, geom: Geometry, dtype, zbot_ext=None) -> tupl
         Pstress=float((grav / ini.alpha[0]) * 50.0),
         Pbstress=float((grav / ini.alpha[L - 1]) * 10.0),
         use_pallas=use_pallas, pallas_interpret=interp,
+        compat_reference_stress=cfg.compat_reference_stress,
     )
+    if cfg.compat_reference_stress and L > 3:
+        # the reference expression reads qp(k) for k>3 out of bounds
+        raise ValueError("compat_reference_stress only defined for nlayers<=3")
     return P, state, static, ini

@@ -13,12 +13,14 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..parallel.sharding import to_host
+
 
 def derived_fields(model, state):
     """(h, u, v, dp, ssh) per layer from prognostic state — the reference's
     5-variable output set (src/diagnostics.F90:24-45). Returns np arrays of
     shape (5, nlayers, ney, nex, ngl, ngl)."""
-    q = np.asarray(state.q_df)
+    q = to_host(state.q_df)
     alpha = np.asarray(model.P.alpha)
     grav = model.static.gravity
     L = q.shape[1]
@@ -31,7 +33,7 @@ def derived_fields(model, state):
     h = alpha[:, None, None, None, None] / grav * dp
     u = q[1] / dp
     v = q[2] / dp
-    zbot = np.asarray(model.P.zbot_df)
+    zbot = to_host(model.P.zbot_df)
     elev = np.empty((L + 1,) + zbot.shape, q.dtype)
     elev[L] = zbot
     for k in range(L - 1, -1, -1):
@@ -43,11 +45,11 @@ def derived_fields(model, state):
 def compute_mass(model, state):
     """Per-layer integral of h (the reference integrates the DERIVED h,
     src/mod_time_loop.F90:153-163 via compute_conserved on qout(1))."""
-    q = np.asarray(state.q_df)
+    q = to_host(state.q_df)
     alpha = np.asarray(model.P.alpha, np.float64)
     dp = np.asarray(model.init_fields.qprime_df[0], np.float64) + np.float64(q[0])
     h = alpha[:, None, None, None, None] / model.static.gravity * dp
-    wj = np.asarray(model.g.wjac_df)
+    wj = to_host(model.g.wjac_df)
     return (wj[None] * h).sum(axis=(1, 2, 3, 4))
 
 
@@ -56,7 +58,7 @@ def courant(model, state):
     (src/courant.F90:34-127): sub-cell 4-node averages of the barotropic
     MOMENTA (sic — the reference uses qb(3:4), i.e. pb*ub, as velocities;
     reproduced verbatim for output parity) and layer velocities."""
-    qb = np.asarray(state.qb_df)
+    qb = to_host(state.qb_df)
     q5 = derived_fields(model, state)
 
     xn = np.asarray(model.geom.coord[..., 0])
@@ -84,7 +86,7 @@ def courant(model, state):
 def summary(model, state, mass0=None):
     """Full diagnostic dict (print_diagnostics_mlswe equivalent)."""
     q5 = derived_fields(model, state)
-    qb = np.asarray(state.qb_df)
+    qb = to_host(state.qb_df)
     L = q5.shape[1]
     out = {
         "time": float(state.t),

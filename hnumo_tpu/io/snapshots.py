@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..parallel.sharding import to_host
+
 from .diagnostics import derived_fields
 
 
@@ -26,7 +28,7 @@ def _flat(a):
 def snapshot_arrays(model, state):
     """Build the reference's snapshot variable set as flat arrays."""
     q5 = derived_fields(model, state)          # (5, L, ney, nex, ngl, ngl)
-    qb = np.asarray(state.qb_df)
+    qb = to_host(state.qb_df)
     coord = np.asarray(model.geom.coord)       # (ney, nex, ngl, ngl, 2)
     L = q5.shape[1]
     npoin = coord[..., 0].size
@@ -35,7 +37,7 @@ def snapshot_arrays(model, state):
         "pb": qb[0].ravel(), "pbub": qb[2].ravel(), "pbvb": qb[3].ravel(),
         "h": q5[0].reshape(L, npoin), "u": q5[1].reshape(L, npoin),
         "v": q5[2].reshape(L, npoin), "eta": q5[4].reshape(L, npoin),
-        "zbot": np.asarray(model.P.zbot_df).ravel(),
+        "zbot": to_host(model.P.zbot_df).ravel(),
         "dt": model.static.dt, "dt_btp": model.static.dt_btp,
         "nlayers": L, "npoin": npoin, "time": float(state.t),
     }
@@ -191,7 +193,7 @@ def save_checkpoint(path, state, itime):
     reference (whose checkpoints ARE the derived-field snapshots), this
     round-trips bit-exactly."""
     np.savez_compressed(
-        path, qb_df=np.asarray(state.qb_df), q_df=np.asarray(state.q_df),
+        path, qb_df=to_host(state.qb_df), q_df=to_host(state.q_df),
         qprime_df=np.asarray(state.qprime_df), t=np.asarray(state.t),
         ok=np.asarray(state.ok), itime=itime)
 

@@ -30,6 +30,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def to_host(x) -> np.ndarray:
+    """Gather a (possibly multi-host-sharded) array to host NumPy.
+
+    TPU-native replacement of the reference's mpi_gatherv I/O gather
+    (src/gather_data.F90:1-66): single-process (even multi-device) arrays
+    are fully addressable and np.asarray suffices; across processes the
+    global array is assembled with multihost_utils.process_allgather
+    (tiled=True keeps the global layout, matching the reference's DG
+    concatenation order)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def make_mesh(devices=None, shape: tuple[int, int] | None = None) -> Mesh:
     """Build a 2D ('y', 'x') device mesh for element-grid decomposition.
 
