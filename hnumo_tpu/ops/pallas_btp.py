@@ -84,7 +84,9 @@ def _kernel(qb_ref, qpl_ref, met_ref, ptab_ref, coup_ref,
             accv_in, accn_in,
             rhs_ref, accv_ref, accn_ref,
             *, grav, botfr, cd, alpha_bot):
-    K, KT, DkT, DeT = K_ref[:], KT_ref[:], DkT_ref[:], DeT_ref[:]
+    # operator blocks carry a leading grid-replicated dim (see the
+    # grid-invariant-operand note in btp_volume_pallas)
+    K, KT, DkT, DeT = K_ref[0], KT_ref[0], DkT_ref[0], DeT_ref[0]
     pet = qb_ref.dtype
 
     hi = jax.lax.Precision.HIGHEST  # full-f32 MXU passes (model.py note)
@@ -186,7 +188,7 @@ def btp_volume_pallas(ops: BtpVolOperators, qb_n, qpl_n, coup_q,
     E, npts = qb_n.shape[1], qb_n.shape[2]
     nqq = coup_q.shape[2]
     T = _pick_tile(E)
-    grid = (E // T,)
+    nblk = E // T
     dtype = qb_n.dtype
 
     # index-map constants must be i32 even under jax_enable_x64 (weak i64
@@ -197,15 +199,27 @@ def btp_volume_pallas(ops: BtpVolOperators, qb_n, qpl_n, coup_q,
         return pl.BlockSpec((c, T, n), lambda i: (z, i, z),
                             memory_space=pltpu.VMEM)
 
-    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    def op_spec(shape):
+        # Grid-invariant operands (an index map that ignores the grid index,
+        # or a whole-array VMEM spec) serialize the whole pipeline on this
+        # TPU stack: measured ~30 us/grid-step of stall vs ~0.2 us with a
+        # varying map — 130x on the full kernel. Replicate the tiny operator
+        # matrices along the grid dim so every block fetch is grid-varying.
+        return pl.BlockSpec((1,) + shape, lambda i: (i, z, z),
+                            memory_space=pltpu.VMEM)
+
+    def rep(m):
+        return jnp.broadcast_to(m[None], (nblk,) + m.shape)
 
     kernel = functools.partial(_kernel, grav=grav, botfr=botfr, cd=cd,
                                alpha_bot=alpha_bot)
     rhs, accv2, accn2 = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(nblk,),
         in_specs=[eb(4, npts), eb(3, nqq), eb(5, nqq), eb(8, nqq),
-                  eb(4, nqq), full, full, full, full,
+                  eb(4, nqq),
+                  op_spec(ops.K.shape), op_spec(ops.KT.shape),
+                  op_spec(ops.DkT.shape), op_spec(ops.DeT.shape),
                   pl.BlockSpec((T, npts), lambda i: (i, z),
                                memory_space=pltpu.VMEM),
                   eb(12, nqq), eb(3, npts)],
@@ -216,5 +230,6 @@ def btp_volume_pallas(ops: BtpVolOperators, qb_n, qpl_n, coup_q,
         input_output_aliases={10: 1, 11: 2},
         interpret=interpret,
     )(qb_n, qpl_n, ops.met, ops.ptab, coup_q,
-      ops.K, ops.KT, ops.DkT, ops.DeT, ops.pbp_df, accv, accn)
+      rep(ops.K), rep(ops.KT), rep(ops.DkT), rep(ops.DeT),
+      ops.pbp_df, accv, accn)
     return rhs, accv2, accn2
