@@ -48,7 +48,10 @@ def main():
     # 2000 km x 2000 km, wind-driven, beta plane; dt chosen for CFL at this
     # resolution (reference uses dt=500/dt_btp=25 at 25x25 elements p=4)
     nel = args.nel
-    scale = 25.0 / nel
+    # CFL: the stable dt scales with the minimum node spacing, which is
+    # (domain/nel) * (min LGL gap) with min LGL gap ~ 1/p^2; the reference
+    # anchor (dt=500, dt_btp=25) is at 25x25 elements, p=4
+    scale = (25.0 / nel) * (4.0 / args.nop) ** 2
     cfg = Config(
         nelx=nel, nely=nel, nopx=args.nop, nopy=args.nop,
         xdims=(0.0, 2.0e6), ydims=(0.0, 2.0e6), nlayers=args.nlayers,

@@ -77,6 +77,10 @@ class Config:
     # the documented intent (cumulative prime pressure). Inert for all
     # golden-gated cases (zero wind/bottom stress there).
     compat_reference_stress: bool = False
+    # debug mode (SURVEY §5): enables jax debug_nans on the step plus extra
+    # finite-value checks — the moral equivalent of the reference's -DDEBUG
+    # compile flag / runtime sanitizer builds
+    debug_checks: bool = False
 
     def __post_init__(self):
         # normalize periodic coupling (reference src/mod_input.F90:449-465)

@@ -287,8 +287,24 @@ def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
     dtype = qb_df.dtype
     ney, nex = g.wjac.shape[0], g.wjac.shape[1]
     nq, ngl = g.wjac.shape[-1], g.wjac_df.shape[-1]
-    acc0 = (jnp.zeros((12, ney, nex, nq, nq), dtype),       # volume quad
-            jnp.zeros((3, ney, nex, ngl, ngl), dtype),      # nodal
+    E = ney * nex
+    if static.use_pallas:
+        # the Pallas path carries the volume/nodal accumulators FLAT
+        # (element-major (C, E, m^2)) across the whole scan: per-stage
+        # reshapes between the structured and flat layouts are physical
+        # relayouts on TPU (~90 us/stage at 64x64) — flat carries make them
+        # one-time costs outside the scan. E is padded so the kernel tile
+        # never degenerates for awkward element counts (VERDICT r2 item 7).
+        from ..ops.pallas_btp import pad_elements
+
+        Ep, _ = pad_elements(E, npts=ngl * ngl, nqq=nq * nq)
+        accv0 = jnp.zeros((12, Ep, nq * nq), dtype)
+        accn0 = jnp.zeros((3, Ep, ngl * ngl), dtype)
+    else:
+        Ep = E
+        accv0 = jnp.zeros((12, ney, nex, nq, nq), dtype)
+        accn0 = jnp.zeros((3, ney, nex, ngl, ngl), dtype)
+    acc0 = (accv0, accn0,
             jnp.zeros((16, ney, nex + 1, nq), dtype),       # x-faces
             jnp.zeros((16, ney + 1, nex, nq), dtype),       # y-faces
             jnp.zeros((2, 4, ney, nex + 1, ngl), dtype),    # graduv x-faces L/R
@@ -313,27 +329,45 @@ def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
     # (pallas path) the flattened operator tables + coupling stack
     qpl_q = interp_n2q(g, qprime_df[:, -1])
     if static.use_pallas:
-        from ..ops.pallas_btp import (btp_volume_pallas, eflat,
-                                      operators_from_tables)
+        from ..ops.pallas_btp import (btp_volume_pallas,
+                                      btp_volume_pallas_uni, eflat,
+                                      operators_from_tables,
+                                      operators_uniform, pad_e)
 
-        ops = operators_from_tables(g, P)
-        qplq_flat = eflat(qpl_q)
-        coup_flat = jnp.stack([eflat(coup.Q_uu_dp), eflat(coup.Q_uv_dp),
-                               eflat(coup.Q_vv_dp), eflat(coup.dH_bcl)])
+        coup_flat = pad_e(jnp.stack([
+            eflat(coup.Q_uu_dp), eflat(coup.Q_uv_dp),
+            eflat(coup.Q_vv_dp), eflat(coup.dH_bcl)]), Ep)
+        if static.uniform_geom:
+            ops = operators_uniform(g, P, static.flat_bottom)
+            ops = ops._replace(ptab=pad_e(ops.ptab, Ep),
+                               pbp_df=pad_e(ops.pbp_df, Ep, axis=0))
+            qpln_flat = pad_e(eflat(qprime_df[:, -1]), Ep)
+        else:
+            ops = operators_from_tables(g, P)
+            ops = ops._replace(met=pad_e(ops.met, Ep),
+                               ptab=pad_e(ops.ptab, Ep),
+                               pbp_df=pad_e(ops.pbp_df, Ep, axis=0))
+            qplq_flat = pad_e(eflat(qpl_q), Ep)
 
     def stage_volume(qb1, accv, accn):
         """Volume RHS + volume/nodal accumulator update for one stage."""
         if static.use_pallas:
-            rhs_f, accv_f, accn_f = btp_volume_pallas(
-                ops, eflat(qb1), qplq_flat, coup_flat,
-                accv.reshape(12, ney * nex, nq * nq),
-                accn.reshape(3, ney * nex, ngl * ngl),
-                grav=static.gravity, botfr=static.botfr, cd=static.cd_mlswe,
-                alpha_bot=static.alpha_bot,
-                interpret=static.pallas_interpret)
-            rhs = rhs_f.reshape(3, ney, nex, ngl, ngl)
-            return (rhs, accv_f.reshape(12, ney, nex, nq, nq),
-                    accn_f.reshape(3, ney, nex, ngl, ngl))
+            qbf = pad_e(eflat(qb1), Ep)
+            if static.uniform_geom:
+                rhs_f, accv, accn = btp_volume_pallas_uni(
+                    ops, qbf, qpln_flat, accv, accn, coup_flat,
+                    grav=static.gravity, botfr=static.botfr,
+                    cd=static.cd_mlswe, alpha_bot=static.alpha_bot,
+                    flat_bottom=static.flat_bottom,
+                    interpret=static.pallas_interpret)
+            else:
+                rhs_f, accv, accn = btp_volume_pallas(
+                    ops, qbf, qplq_flat, coup_flat, accv, accn,
+                    grav=static.gravity, botfr=static.botfr,
+                    cd=static.cd_mlswe, alpha_bot=static.alpha_bot,
+                    interpret=static.pallas_interpret)
+            rhs = rhs_f[:, :E].reshape(3, ney, nex, ngl, ngl)
+            return rhs, accv, accn
         # XLA path: nodal accumulators BEFORE the stage RHS (reference :90-92);
         # mu2_df = ope_df^2 - 1 stored in conditioned form
         t_df = qb1[1] * P.one_over_pbprime_df
@@ -341,6 +375,8 @@ def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
                           qb1[2] / qb1[0], qb1[3] / qb1[0]])
         rhs, vol_inc = btp_volume_rhs(static, P, g, coup, qb1, qpl_q)
         return rhs, accv + vol_inc, accn + incn
+
+    lsrk = static.ti_method_btp == "lsrk"
 
     def one_btp_step(carry, _):
         qb, qb2, accv, accn, afx, afy, agx, agy, agrad = carry
@@ -356,14 +392,27 @@ def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
             agy = agy + jnp.swapaxes(gface.y, 0, 1)
             agrad = agrad + graduv
 
-            dtt = static.dt_btp * beta[ik]
-            new234 = (a[ik, 0] * qb0[1:4] + a[ik, 1] * qb1[1:4]
-                      + a[ik, 2] * qb2[1:4] + dtt * rhs)
+            if lsrk:
+                # correct 2N-register low-storage RK (Carpenter & Kennedy
+                # 1994): dq = A_k dq + dt f(q); q += B_k dq. The reference's
+                # own LSRK branch feeds these tables through its 3-register
+                # SSP update (src/mod_rk_mlswe.F90:99-106), which is
+                # inconsistent and diverges — kept as 'lsrk_ref' only.
+                # Here qb2 carries the dq register (thickness/momentum rows).
+                qb2 = a[ik, 0] * qb2[1:4] + static.dt_btp * rhs
+                new234 = qb1[1:4] + beta[ik] * qb2
+                qb2 = jnp.concatenate([jnp.zeros_like(qb2[:1]), qb2])
+            else:
+                dtt = static.dt_btp * beta[ik]
+                new234 = (a[ik, 0] * qb0[1:4] + a[ik, 1] * qb1[1:4]
+                          + a[ik, 2] * qb2[1:4] + dtt * rhs)
             pb = new234[0] + P.pbprime_df
             qu, qv = apply_wall_projection(new234[1], new234[2], bc)
             qb1 = jnp.stack([pb, new234[0], qu, qv])
-            if kstages == 5 and ik == 1:
+            if not lsrk and kstages == 5 and ik == 1:
                 qb2 = qb1
+        if lsrk:
+            qb2 = jnp.zeros_like(qb2)  # dq register resets every btp step
         return (qb1, qb2, accv, accn, afx, afy, agx, agy, agrad), None
 
     qb2_0 = jnp.zeros_like(qb_df)
@@ -374,4 +423,8 @@ def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
 
     n_inv = jnp.asarray(1.0 / (kstages * static.n_btp), dtype)
     vol, nod, afx, afy, agx, agy, agrad = (acc * n_inv for acc in accs)
+    if static.use_pallas:
+        # back from the flat padded carry layout to the structured one
+        vol = vol[:, :E].reshape(12, ney, nex, nq, nq)
+        nod = nod[:, :E].reshape(3, ney, nex, ngl, ngl)
     return qb, _averages_view(static, vol, nod, afx, afy, agx, agy, agrad)

@@ -45,6 +45,14 @@ class StaticConfig:
     use_pallas: bool = False      # fused TPU kernels (ops.pallas_btp)
     pallas_interpret: bool = False  # interpret mode (CPU testing)
     compat_reference_stress: bool = False  # verbatim reference stress slip
+    uniform_geom: bool = False    # affine brick mesh with constant metrics
+    #                               (enables the folded-operator v2 kernel)
+    flat_bottom: bool = False     # grad(z_bot) == 0 everywhere (drops the
+    #                               bathymetry-gradient source channels)
+    debug_checks: bool = False    # enable jax.debug_nans-style NaN checking
+    ti_method_btp: str = "rk35"   # barotropic integrator: rk35/ssprk |
+    #                               lsrk (correct 2N low-storage) |
+    #                               lsrk_ref (reference-verbatim, divergent)
 
     @property
     def use_visc(self) -> bool:
@@ -255,7 +263,8 @@ def build_precomputed(cfg: Config, geom: Geometry, dtype, zbot_ext=None) -> tupl
     b_bcl = fdt2 / (1.0 + fdt2**2)
 
     ssprk_a, ssprk_beta = ssprk_coefficients(
-        cfg.kstages, "lsrk" if cfg.ti_method_btp == "lsrk" else "ssprk")
+        cfg.kstages,
+        "lsrk" if cfg.ti_method_btp in ("lsrk", "lsrk_ref") else "ssprk")
 
     # ---- reference-state (rest) tables for the f32 δ-formulation --------
     # (docs/float32.md). Reference = the t=0 rest profile: dp'_ref is the
@@ -508,6 +517,21 @@ def build_precomputed(cfg: Config, geom: Geometry, dtype, zbot_ext=None) -> tupl
     else:
         use_pallas, interp = False, False
 
+    # geometry/physics structure flags for the folded-operator fast path:
+    # uniform_geom = every element affine with identical diagonal metrics
+    # (true for all brick grids); flat_bottom = no bathymetry gradients.
+    _mscale = max(np.abs(geom.ksiq_x).max(), np.abs(geom.etaq_y).max())
+    _wflat = geom.wjac.reshape(-1, geom.wjac.shape[-2] * geom.wjac.shape[-1])
+    uniform_geom = bool(
+        np.abs(geom.ksiq_y).max() <= 1e-12 * _mscale
+        and np.abs(geom.etaq_x).max() <= 1e-12 * _mscale
+        and np.ptp(geom.ksiq_x) <= 1e-12 * _mscale
+        and np.ptp(geom.etaq_y) <= 1e-12 * _mscale
+        and np.ptp(_wflat, axis=0).max() <= 1e-12 * np.abs(_wflat).max())
+    # numerical differentiation of a constant zbot leaves ~1e-16*|zbot|*|D|
+    # noise; slopes below 1e-13 (dimensionless dz/dx) are physically flat
+    flat_bottom = bool(max(np.abs(gzx).max(), np.abs(gzy).max()) <= 1e-13)
+
     static = StaticConfig(
         nlayers=L, kstages=cfg.kstages, n_btp=cfg.n_btp,
         dt=cfg.dt, dt_btp=cfg.dt_btp_eff, gravity=grav,
@@ -520,7 +544,19 @@ def build_precomputed(cfg: Config, geom: Geometry, dtype, zbot_ext=None) -> tupl
         Pbstress=float((grav / ini.alpha[L - 1]) * 10.0),
         use_pallas=use_pallas, pallas_interpret=interp,
         compat_reference_stress=cfg.compat_reference_stress,
+        uniform_geom=uniform_geom, flat_bottom=flat_bottom,
+        debug_checks=cfg.debug_checks,
+        ti_method_btp=cfg.ti_method_btp,
     )
+    if cfg.ti_method_btp == "lsrk_ref":
+        import warnings
+
+        warnings.warn(
+            "ti_method_btp='lsrk_ref' reproduces the reference VERBATIM "
+            "(src/mod_rk_mlswe.F90:99-106 applies its 3-register SSP update "
+            "to the LSRK tables), which is formally inconsistent and "
+            "DIVERGES within a few steps — for A/B comparison only. Use "
+            "'lsrk' for the correct low-storage Carpenter-Kennedy scheme.")
     if cfg.compat_reference_stress and L > 3:
         # the reference expression reads qp(k) for k>3 out of bounds
         raise ValueError("compat_reference_stress only defined for nlayers<=3")

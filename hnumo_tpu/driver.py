@@ -53,6 +53,10 @@ class Runner:
         m = self.model
         cfg = m.cfg
         itime = 0
+        nproc = 1 if m.mesh is None else m.mesh.devices.size
+        if not quiet:
+            # run-config banner (reference src/print_header.F90)
+            print(diag.print_header(m, flag=0, numproc=nproc))
 
         if state is None:
             if cfg.time_initial > 0:
@@ -100,6 +104,7 @@ class Runner:
         if not quiet:
             print(" **Simulation Finished**")
             print(f"steps={itime} wall={wall:.2f}s rhs_time={self.rhs_time:.2f}s")
+            print(diag.print_header(m, flag=1, numproc=nproc))
         return state, s
 
 

@@ -165,3 +165,40 @@ def print_summary(summ, itime, dt, dt_btp, time_scale=1.0):
                      f"{summ['qb_min'][i]:24.12e}")
     lines.append("=" * 63)
     return "\n".join(lines)
+
+
+def print_header(model, flag=0, numproc=1):
+    """Run-configuration banner (reference src/print_header.F90:14-71).
+
+    flag=0 at simulation start, flag=1 at the end."""
+    cfg = model.cfg
+    geom = model.geom
+    ngl = geom.psiq.shape[0]
+    npoin = cfg.nelx * cfg.nely * ngl * ngl
+    nboun = 2 * (cfg.nelx + cfg.nely)
+    ts = cfg.time_scale
+    lines = [
+        "-------------------Begin Simulation----------------------------"
+        if flag == 0 else
+        "----------------------End Simulation---------------------------",
+        "-" * 63,
+        "eqn_set = mlswe",
+        ("dt dt_btp time_initial time_final time_restart time_scale = "
+         + " ".join(f"{v:12.4e}" for v in
+                    (cfg.dt, cfg.dt_btp, cfg.time_initial,
+                     cfg.time_final, cfg.time_restart, ts))),
+        f"nopx nopy = {cfg.nopx:6d} {cfg.nopy:6d}",
+        f"nelx nely = {cfg.nelx:6d} {cfg.nely:6d}",
+        f"test_case  = {cfg.test_case}",
+        f"ti_method_btp = {cfg.ti_method_btp}",
+        f"kstages = {cfg.kstages:6d}",
+        f"out_type = {cfg.out_type}",
+        f"viscosity = {cfg.visc_mlswe:6.3f}",
+        (f"nlayers npoin nelem nboun = {cfg.nlayers:9d} {npoin:9d} "
+         f"{cfg.nelx * cfg.nely:9d} {nboun:9d}"),
+        f"lprint_diagnostics = {cfg.lprint_diagnostics!r:7s}",
+        f"numproc = {numproc:6d}",
+        "-" * 63,
+        "",
+    ]
+    return "\n".join(lines)

@@ -194,7 +194,7 @@ def save_checkpoint(path, state, itime):
     round-trips bit-exactly."""
     np.savez_compressed(
         path, qb_df=to_host(state.qb_df), q_df=to_host(state.q_df),
-        qprime_df=np.asarray(state.qprime_df), t=np.asarray(state.t),
+        qprime_df=to_host(state.qprime_df), t=np.asarray(state.t),
         ok=np.asarray(state.ok), itime=itime)
 
 

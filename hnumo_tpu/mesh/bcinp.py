@@ -22,14 +22,28 @@ _TOL = 1.0e-5  # reference tolerance (src/mod_bc.F90:120)
 
 
 def _read_patch(path: Path) -> np.ndarray:
-    """One patch file: 2 junk headers, 'nptsi nptsj', then xyz rows."""
-    lines = [ln for ln in path.read_text().splitlines() if ln.strip()]
-    npts_i, npts_j = (int(v) for v in lines[2].split()[:2])
+    """One patch file: 2 junk headers, 'nptsi nptsj', then xyz rows.
+
+    Mirrors the reference's Fortran list-directed reads (src/mod_bc.F90:
+    130-146): the two header READs each consume exactly one record (blank or
+    not); every later READ consumes whole records until its value list is
+    satisfied, skipping blank records and discarding surplus values."""
+    records = iter(path.read_text().splitlines()[2:])  # drop 2 header records
+
+    def read_values(n):
+        vals: list[str] = []
+        for ln in records:
+            toks = ln.split()
+            if not toks:
+                continue
+            vals.extend(toks)
+            if len(vals) >= n:
+                return vals[:n]
+        raise ValueError(f"{path}: unexpected end of patch file")
+
+    npts_i, npts_j = (int(v) for v in read_values(2))
     npts = npts_i * npts_j
-    pts = np.array([[float(v) for v in ln.split()[:3]]
-                    for ln in lines[3:3 + npts]])
-    if pts.shape[0] != npts:
-        raise ValueError(f"{path}: expected {npts} points, got {pts.shape[0]}")
+    pts = np.array([[float(v) for v in read_values(3)] for _ in range(npts)])
     return pts[:, :2]
 
 
@@ -74,13 +88,23 @@ def read_bc_inp(bc_inp_path, nelx, nely, xdims, ydims,
              "south": ("y", 0), "north": ("y", 1)}
     for ln in lines[1:1 + nfiles]:
         parts = ln.replace('"', "'").split("'")
-        if len(parts) >= 2:   # quoted filename
-            fname, code = parts[1], int(parts[2].split()[0])
+        if len(parts) >= 3 and parts[1]:   # quoted filename
+            rest = parts[2].split()
+            if not rest:
+                raise ValueError(
+                    f"{bc_inp_path}: missing BC code after filename in line "
+                    f"{ln!r}")
+            fname, code = parts[1], int(rest[0])
         else:
             toks = ln.split()
+            if len(toks) < 2:
+                raise ValueError(
+                    f"{bc_inp_path}: expected '<patch file> <bc code>', got "
+                    f"line {ln!r}")
             fname, code = toks[0], int(toks[1])
         patch = _read_patch(bc_inp_path.parent / fname)
         matched = False
+        partial = []
         for side, (axis, idx) in sides.items():
             full, any_ = _covers(patch, _side_corners(side, nelx, nely,
                                                       xdims, ydims))
@@ -88,10 +112,16 @@ def read_bc_inp(bc_inp_path, nelx, nely, xdims, ydims,
                 (xb if axis == "x" else yb)[idx] = code
                 matched = True
             elif any_:
-                raise ValueError(
-                    f"{fname}: patch covers only part of the {side} side — "
-                    "partial-side BC patches are not representable on the "
-                    "structured brick (use a gmsh mesh with $BC instead)")
+                partial.append(side)
+        # a patch that fully covers one side may also brush interior corners
+        # of an adjacent side; the reference assigns per-face, so full-side
+        # assignments win and stray partial overlap is ignored. Only a patch
+        # with NO full side and a partial one is non-representable here.
+        if not matched and partial:
+            raise ValueError(
+                f"{fname}: patch covers only part of the {partial[0]} side — "
+                "partial-side BC patches are not representable on the "
+                "structured brick (use a gmsh mesh with $BC instead)")
         if not matched:
             warnings.warn(f"{fname}: patch matches no domain side; ignored "
                           "(reference read_bc would silently skip it too)")

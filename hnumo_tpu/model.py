@@ -139,7 +139,20 @@ class Model:
         return s
 
     def step(self, state: State) -> State:
-        return self._step(state)
+        s = self._step(state)
+        if self.cfg.debug_checks:
+            # debug mode (SURVEY §5): per-step finite-value sanitizer, the
+            # runtime analog of the reference's debug builds. Costs a
+            # host sync per step — off in production.
+            import numpy as _np
+            for name in ("qb_df", "q_df", "qprime_df"):
+                a = _np.asarray(getattr(s, name))
+                if not _np.all(_np.isfinite(a)):
+                    bad = int((~_np.isfinite(a)).sum())
+                    raise FloatingPointError(
+                        f"debug_checks: {bad} non-finite values in {name} "
+                        f"at t={float(s.t)}")
+        return s
 
     def run(self, state: State, nsteps: int, check_ok: bool = True) -> State:
         for _ in range(nsteps):

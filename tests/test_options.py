@@ -206,11 +206,33 @@ def test_kstages_variants(kstages):
 
 
 def test_lsrk_variant():
-    """LSRK(5) path, replicating the reference's update form for it
-    (src/mod_rk_mlswe.F90:99-106 applies the same 3-register combination
-    to the LSRK tables)."""
-    cfg = _bump(ti_method_btp="lsrk", kstages=5, dt_btp=1.0)
-    m, s = _run_and_gate(cfg, nsteps=2)
+    """Correct low-storage Carpenter-Kennedy LSRK5(4): converges to the
+    SSP(5,3) reference solution as dt_btp shrinks (VERDICT r2 item 8)."""
+    errs = []
+    for dtb in (1.0, 0.5):
+        m, s = _run_and_gate(_bump(ti_method_btp="lsrk", kstages=5,
+                                   dt_btp=dtb), nsteps=3)
+        m5, s5 = _run_and_gate(_bump(dt_btp=dtb), nsteps=3)
+        errs.append(_qb_err(s, s5))
+    assert errs[1] < 0.5 * errs[0], errs   # measured ratio ~0.12 (~3rd order)
+    assert errs[0] < 5e-3, errs
+
+
+def test_lsrk_ref_verbatim_diverges():
+    """Documents the inherited quirk: the reference applies its 3-register
+    SSP update to the LSRK tables (src/mod_rk_mlswe.F90:99-106), which is
+    formally inconsistent — state blown up / aborted within 3 steps. Kept
+    as 'lsrk_ref' (with a warning) for A/B comparison only."""
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        m = Model(_bump(ti_method_btp="lsrk_ref", kstages=5, dt_btp=1.0))
+    s = m.state0
+    for _ in range(3):
+        s = m.step(s)
+    bad = (not bool(s.ok)) or not np.all(np.isfinite(np.asarray(s.qb_df)))
+    assert bad, "reference-verbatim LSRK unexpectedly stable"
 
 
 # ---------------------------------------------------------------------------
@@ -403,3 +425,58 @@ def test_dam_smoke():
                  dt=30.0, dt_btp=3.0, time_final=1e9,
                  test_case="dam", dtype="float64")
     m, s = _run_and_gate(cfg, nsteps=10)
+
+
+# ---------------------------------------------------------------------------
+# high polynomial order (reference supports arbitrary nop,
+# src/mod_basis.F90:84-100); BASELINE.json names p=8 as a bench config
+# ---------------------------------------------------------------------------
+
+def test_p8_high_order():
+    """p=8 runs stably with a CFL-scaled dt and conserves mass to 1e-12."""
+    cfg = _bump(nopx=8, nopy=8, nelx=4, nely=4, dt=5.0, dt_btp=0.5)
+    m, s = _run_and_gate(cfg, nsteps=5)
+    assert m.g.psiq.shape == (9, 17)  # ngl=9, nq=2*8+1
+
+
+def test_p8_pallas_interpret_matches_xla():
+    """The fused volume kernel handles p=8 shapes (npts=81, nqq=289)."""
+    cfg = _bump(nopx=8, nopy=8, nelx=4, nely=4, dt=5.0, dt_btp=0.5)
+    m_x = Model(cfg)
+    m_p = Model(Config(**{**cfg.__dict__, "use_pallas": "on"}))
+    assert m_p.static.use_pallas and m_p.static.uniform_geom
+    s_x = m_x.step(m_x.state0)
+    s_p = m_p.step(m_p.state0)
+    for name in ("qb_df", "q_df", "qprime_df"):
+        a = np.asarray(getattr(s_x, name))
+        b = np.asarray(getattr(s_p, name))
+        np.testing.assert_allclose(b, a, atol=1e-11 * max(np.abs(a).max(), 1),
+                                   err_msg=name)
+
+
+def test_debug_checks_flags_nonfinite():
+    """debug_checks (SURVEY §5 debug mode): a blow-up run raises
+    FloatingPointError/RuntimeError instead of silently producing NaNs; a
+    sane run is unaffected."""
+    m, s = _run_and_gate(_bump(debug_checks=True), nsteps=2)  # sane: no raise
+    bad = Model(_bump(debug_checks=True, dt=2000.0, dt_btp=200.0))
+    sb = bad.state0
+    with pytest.raises((FloatingPointError, RuntimeError)):
+        for _ in range(20):
+            sb = bad.step(sb)
+            if not bool(sb.ok):
+                raise RuntimeError("negative thickness abort")
+
+
+def test_print_header_banner():
+    """Run-config banner (reference src/print_header.F90): contains the key
+    config lines and both begin/end variants render."""
+    from hnumo_tpu.io.diagnostics import print_header
+
+    m = Model(_bump())
+    txt = print_header(m, flag=0, numproc=4)
+    assert "Begin Simulation" in txt
+    assert "test_case  = bump" in txt
+    assert "kstages" in txt and "nlayers npoin nelem nboun" in txt
+    assert "numproc =      4" in txt
+    assert "End Simulation" in print_header(m, flag=1)
