@@ -41,6 +41,9 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from hnumo_tpu import compile_cache
+    compile_cache.enable()
+
     from hnumo_tpu.config import Config
     from hnumo_tpu.model import Model
 

@@ -14,7 +14,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..ops.dg import DeviceGeom, grad_n2q, interp_n2q, scatter_volume
-from .faces import (BCs, extract_faces, face_n2q, face_quad_scatter,
+from .faces import (BCs, extract_faces, extract_faces_multi, face_n2q,
+                    face_quad_scatter,
                     scatter_face_x, scatter_face_y)
 from .types import BtpAverages, Pair, Precomputed
 
@@ -28,9 +29,7 @@ def extract_qprime_faces(bc: BCs, qprime_df):
     dp' copies across walls, (u', v') get the free-slip/no-slip mirror.
     Returns tuple of 3 FaceLR with layer leading axis.
     """
-    fdp, _ = extract_faces(qprime_df[0], bc)
-    fu, fv = extract_faces(qprime_df[1], bc, v=qprime_df[2])
-    return (fdp, fu, fv)
+    return tuple(extract_faces_multi(qprime_df, bc, vec_pairs=((1, 2),)))
 
 
 # ---------------------------------------------------------------------------

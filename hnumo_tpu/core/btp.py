@@ -17,8 +17,9 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.dg import DeviceGeom, grad_nodal, interp_n2q, scatter_volume, scatter_volume_nodal
-from .faces import (BCs, apply_wall_projection, extract_faces, face_n2q,
-                    face_quad_scatter, scatter_face_x, scatter_face_y)
+from .faces import (BCs, apply_wall_projection, extract_faces_multi,
+                    face_n2q, face_quad_scatter, scatter_face_x,
+                    scatter_face_y)
 from .types import BtpAverages, BtpFaceAvg, CouplingFields, Pair, Precomputed
 
 
@@ -39,10 +40,7 @@ def btp_extract_df(bc: BCs, qb_df):
     pbpert copy across walls; (pbub, pbvb) get the free-slip/no-slip mirror.
     Returns a list of 4 FaceLR.
     """
-    f_pb, _ = extract_faces(qb_df[0], bc)
-    f_pp, _ = extract_faces(qb_df[1], bc)
-    f_pu, f_pv = extract_faces(qb_df[2], bc, v=qb_df[3])
-    return [f_pb, f_pp, f_pu, f_pv]
+    return extract_faces_multi(qb_df, bc, vec_pairs=((2, 3),))
 
 
 def btp_volume_rhs(static, P: Precomputed, g: DeviceGeom, coup: CouplingFields,
@@ -177,12 +175,11 @@ def btp_nodal_laplacian(static, P: Precomputed, g: DeviceGeom, bc: BCs,
     gvx, gvy = grad_nodal(g, Uk_v)
     graduv = jnp.stack([gux, guy, gvx, gvy])
 
-    f12u, f12v = extract_faces(graduv[0], bc, v=graduv[1])
-    f34u, f34v = extract_faces(graduv[2], bc, v=graduv[3])
-    gface_x = jnp.stack([jnp.stack([f.xl for f in (f12u, f12v, f34u, f34v)]),
-                         jnp.stack([f.xr for f in (f12u, f12v, f34u, f34v)])], axis=1)
-    gface_y = jnp.stack([jnp.stack([f.yl for f in (f12u, f12v, f34u, f34v)]),
-                         jnp.stack([f.yr for f in (f12u, f12v, f34u, f34v)])], axis=1)
+    fg = extract_faces_multi(graduv, bc, vec_pairs=((0, 1), (2, 3)))
+    gface_x = jnp.stack([jnp.stack([f.xl for f in fg]),
+                         jnp.stack([f.xr for f in fg])], axis=1)
+    gface_y = jnp.stack([jnp.stack([f.yl for f in fg]),
+                         jnp.stack([f.yr for f in fg])], axis=1)
 
     # volume (reference btp_compute_laplacian :357-390): note the MINUS sign
     qq = coup.pbprime_visc[None] * graduv + coup.btp_dpp_graduv

@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..ops.dg import DeviceGeom, grad_nodal, interp_n2q
-from .faces import BCs, extract_faces, face_n2q
+from .faces import BCs, extract_faces_multi, face_n2q
 from .types import CouplingFields, Pair, Precomputed
 
 
@@ -90,13 +90,13 @@ def btp_bcl_coeffs(
 
         # face traces of dpp_graduv (vector mirror on (1,2) and (3,4) pairs at
         # free-slip walls) + dpprime_visc (scalar copy)
-        g12u, g12v = extract_faces(dpp_graduv[0], bc, v=dpp_graduv[1])
-        g34u, g34v = extract_faces(dpp_graduv[2], bc, v=dpp_graduv[3])
-        g5, _ = extract_faces(dpprime_visc, bc)
+        f5 = extract_faces_multi(
+            jnp.concatenate([dpp_graduv, dpprime_visc[None]], axis=0), bc,
+            vec_pairs=((0, 1), (2, 3)))
 
         def stack_dir(sel_l, sel_r):
-            L = jnp.stack([sel_l(g12u), sel_l(g12v), sel_l(g34u), sel_l(g34v), sel_l(g5)])
-            R = jnp.stack([sel_r(g12u), sel_r(g12v), sel_r(g34u), sel_r(g34v), sel_r(g5)])
+            L = jnp.stack([sel_l(f) for f in f5])
+            R = jnp.stack([sel_r(f) for f in f5])
             return jnp.stack([L, R], axis=1)   # (5, 2, L, F, ngl)
 
         gface_x = stack_dir(lambda f: f.xl, lambda f: f.xr)

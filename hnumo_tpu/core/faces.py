@@ -113,13 +113,82 @@ def _from_next(ax, slab):
     return lax.ppermute(slab, ax, [(i, (i - 1) % n) for i in range(n)])
 
 
-def _mirror(uL, vL, code: int, direction: str):
-    """Ghost values outside a wall for a vector field (free-slip/no-slip)."""
-    if code == 4:  # free-slip: reflect normal component
-        return (-uL, vL) if direction == "x" else (uL, -vL)
-    if code in (2, 5):  # no-slip: negate the full vector
-        return -uL, -vL
-    return uL, vL  # 0 / unknown: copy ("do nothing")
+def _mirror_signs(nchan: int, code: int, direction: str, vec_pairs) -> list:
+    """Per-channel mirror sign (+1 copy / -1 negate) for one wall.
+
+    Scalar channels copy; vector pairs follow _mirror: free-slip negates the
+    normal component, no-slip negates both components."""
+    sign = [1.0] * nchan
+    if code == 4:
+        for (iu, iv) in vec_pairs:
+            sign[iu if direction == "x" else iv] = -1.0
+    elif code in (2, 5):
+        for (iu, iv) in vec_pairs:
+            sign[iu] = -1.0
+            sign[iv] = -1.0
+    return sign
+
+
+def extract_faces_multi(q, bc: BCs, vec_pairs=()) -> list[FaceLR]:
+    """Nodal (or quad) face traces with halo/BC closure — channel-stacked.
+
+    q: (C, ..., ly, lx, m, m) stacked local fields. Channels named in
+    `vec_pairs` (tuples of (iu, iv) indices) form vector fields and get the
+    free-slip/no-slip wall mirror; the rest get scalar copy mirrors.
+
+    The halo exchange is ONE `lax.ppermute` per direction-sense on the whole
+    channel stack (4 total), not one per field: the moral equivalent of the
+    reference packing all variables of a face into one MPI message
+    (src/send_receive_bound.F90 packs nvar*ngl values per face before a
+    single isend). On ICI this turns ~32 latency-bound collectives per
+    barotropic stage into 4.
+
+    Returns a list of C FaceLR; x-traces (..., ly, lx+1, m), y-traces
+    (..., ly+1, lx, m).
+    """
+    C = q.shape[0]
+    dtype = q.dtype
+    east = q[..., :, :, :, -1]     # (C, ..., ly, lx, m)
+    west = q[..., :, :, :, 0]
+    north = q[..., :, :, -1, :]
+    south = q[..., :, :, 0, :]
+
+    def msig(code, direction):
+        s = _mirror_signs(C, code, direction, vec_pairs)
+        sig = jnp.asarray(s, dtype).reshape((C,) + (1,) * (q.ndim - 2))
+        return sig
+
+    # ---- x-direction (face axis extends the lx axis = -2 of the slabs) ----
+    ghost_w = _from_prev(bc.ax, east[..., -1:, :])
+    ghost_e = _from_next(bc.ax, west[..., :1, :])
+    w_own = west[..., :1, :]
+    e_own = east[..., -1:, :]
+    if bc.x_periodic:
+        xl0, xr0, xrL = ghost_w, w_own, ghost_e
+    else:
+        wfirst, elast = _edge_masks(bc.ax)
+        xl0 = _sel(wfirst, w_own, ghost_w)
+        xr0 = _sel(wfirst, msig(bc.west, "x") * w_own, w_own)
+        xrL = _sel(elast, msig(bc.east, "x") * e_own, ghost_e)
+    xl = jnp.concatenate([xl0, east], axis=-2)
+    xr = jnp.concatenate([xr0, west[..., 1:, :], xrL], axis=-2)
+
+    # ---- y-direction (face axis extends the ly axis = -3 of the slabs) ----
+    ghost_s = _from_prev(bc.ay, north[..., -1:, :, :])
+    ghost_n = _from_next(bc.ay, south[..., :1, :, :])
+    s_own = south[..., :1, :, :]
+    n_own = north[..., -1:, :, :]
+    if bc.y_periodic:
+        yl0, yr0, yrL = ghost_s, s_own, ghost_n
+    else:
+        sfirst, nlast = _edge_masks(bc.ay)
+        yl0 = _sel(sfirst, s_own, ghost_s)
+        yr0 = _sel(sfirst, msig(bc.south, "y") * s_own, s_own)
+        yrL = _sel(nlast, msig(bc.north, "y") * n_own, ghost_n)
+    yl = jnp.concatenate([yl0, north], axis=-3)
+    yr = jnp.concatenate([yr0, south[..., 1:, :, :], yrL], axis=-3)
+
+    return [FaceLR(xl=xl[c], xr=xr[c], yl=yl[c], yr=yr[c]) for c in range(C)]
 
 
 def extract_faces(u, bc: BCs, v=None) -> tuple[FaceLR, FaceLR | None]:
@@ -130,61 +199,9 @@ def extract_faces(u, bc: BCs, v=None) -> tuple[FaceLR, FaceLR | None]:
     copy mirrors. Returns FaceLR for u (and for v when given).
     x-traces have shape (..., ly, lx+1, m); y-traces (..., ly+1, lx, m).
     """
-    fields = (u,) if v is None else (u, v)
-    east = [f[..., :, :, :, -1] for f in fields]     # (..., ly, lx, m)
-    west = [f[..., :, :, :, 0] for f in fields]
-    north = [f[..., :, :, -1, :] for f in fields]
-    south = [f[..., :, :, 0, :] for f in fields]
-
-    # ---- x-direction (face axis extends the lx axis = -2 of the slabs) ----
-    ghost_w = [_from_prev(bc.ax, e[..., -1:, :]) for e in east]
-    ghost_e = [_from_next(bc.ax, w[..., :1, :]) for w in west]
-    if bc.x_periodic:
-        xl0 = ghost_w
-        xr0 = [w[..., :1, :] for w in west]
-        xrL = ghost_e
-    else:
-        wfirst, elast = _edge_masks(bc.ax)
-        w_own = [w[..., :1, :] for w in west]
-        e_own = [e[..., -1:, :] for e in east]
-        if v is None:
-            mir_w, mir_e = [w_own[0]], [e_own[0]]
-        else:
-            mir_w = list(_mirror(w_own[0], w_own[1], bc.west, "x"))
-            mir_e = list(_mirror(e_own[0], e_own[1], bc.east, "x"))
-        xl0 = [_sel(wfirst, w_own[i], ghost_w[i]) for i in range(len(fields))]
-        xr0 = [_sel(wfirst, mir_w[i], w_own[i]) for i in range(len(fields))]
-        xrL = [_sel(elast, mir_e[i], ghost_e[i]) for i in range(len(fields))]
-    xl = [jnp.concatenate([xl0[i], east[i]], axis=-2) for i in range(len(fields))]
-    xr = [jnp.concatenate([xr0[i], west[i][..., 1:, :], xrL[i]], axis=-2)
-          for i in range(len(fields))]
-
-    # ---- y-direction (face axis extends the ly axis = -3 of the slabs) ----
-    ghost_s = [_from_prev(bc.ay, n_[..., -1:, :, :]) for n_ in north]
-    ghost_n = [_from_next(bc.ay, s[..., :1, :, :]) for s in south]
-    if bc.y_periodic:
-        yl0 = ghost_s
-        yr0 = [s[..., :1, :, :] for s in south]
-        yrL = ghost_n
-    else:
-        sfirst, nlast = _edge_masks(bc.ay)
-        s_own = [s[..., :1, :, :] for s in south]
-        n_own = [n_[..., -1:, :, :] for n_ in north]
-        if v is None:
-            mir_s, mir_n = [s_own[0]], [n_own[0]]
-        else:
-            mir_s = list(_mirror(s_own[0], s_own[1], bc.south, "y"))
-            mir_n = list(_mirror(n_own[0], n_own[1], bc.north, "y"))
-        yl0 = [_sel(sfirst, s_own[i], ghost_s[i]) for i in range(len(fields))]
-        yr0 = [_sel(sfirst, mir_s[i], s_own[i]) for i in range(len(fields))]
-        yrL = [_sel(nlast, mir_n[i], ghost_n[i]) for i in range(len(fields))]
-    yl = [jnp.concatenate([yl0[i], north[i]], axis=-3) for i in range(len(fields))]
-    yr = [jnp.concatenate([yr0[i], south[i][..., 1:, :, :], yrL[i]], axis=-3)
-          for i in range(len(fields))]
-
-    outs = [FaceLR(xl=xl[i], xr=xr[i], yl=yl[i], yr=yr[i]) for i in range(len(fields))]
     if v is None:
-        return outs[0], None
+        return extract_faces_multi(u[None], bc)[0], None
+    outs = extract_faces_multi(jnp.stack([u, v]), bc, vec_pairs=((0, 1),))
     return outs[0], outs[1]
 
 

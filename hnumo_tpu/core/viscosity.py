@@ -16,7 +16,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..ops.dg import DeviceGeom, grad_n2q, scatter_volume
-from .faces import BCs, extract_faces, face_quad_scatter, scatter_face_x, scatter_face_y
+from .faces import (BCs, extract_faces, extract_faces_multi,
+                    face_quad_scatter, scatter_face_x, scatter_face_y)
 from .types import CouplingFields, Pair, Precomputed
 
 
@@ -53,12 +54,11 @@ def _quad_flux_faces(flux_q, bc: BCs):
     """Face traces of a (4, quad) LDG flux field at quad resolution with the
     free-slip mirror applied pairwise ((1,2) and (3,4) as vectors).
     Reference src/mod_laplacian_quad.F90:158-211."""
-    f12u, f12v = extract_faces(flux_q[0], bc, v=flux_q[1])
-    f34u, f34v = extract_faces(flux_q[2], bc, v=flux_q[3])
-    fl_x = jnp.stack([f12u.xl, f12v.xl, f34u.xl, f34v.xl])
-    fr_x = jnp.stack([f12u.xr, f12v.xr, f34u.xr, f34v.xr])
-    fl_y = jnp.stack([f12u.yl, f12v.yl, f34u.yl, f34v.yl])
-    fr_y = jnp.stack([f12u.yr, f12v.yr, f34u.yr, f34v.yr])
+    fs = extract_faces_multi(flux_q, bc, vec_pairs=((0, 1), (2, 3)))
+    fl_x = jnp.stack([f.xl for f in fs])
+    fr_x = jnp.stack([f.xr for f in fs])
+    fl_y = jnp.stack([f.yl for f in fs])
+    fr_y = jnp.stack([f.yr for f in fs])
     return fl_x, fr_x, fl_y, fr_y
 
 

@@ -126,6 +126,9 @@ def main(argv=None):
         os.environ["JAX_PLATFORMS"] = "cpu"
         jax.config.update("jax_platforms", "cpu")
 
+    from . import compile_cache
+    compile_cache.enable()
+
     from .config import config_from_namelist
     from .model import Model
 

@@ -85,4 +85,6 @@ def freeze(name, cfg, checkpoints):
 
 if __name__ == "__main__":
     freeze("bump_traj", bump_config(), [3, 10])
-    freeze("dgyre_traj", dgyre_config(), [3, 10])
+    # 100 dt = ~14 model hours: long enough to pin slow drift in the
+    # wind/friction/viscosity wiring (VERDICT r2 item 3), short enough for CI
+    freeze("dgyre_traj", dgyre_config(), [3, 10, 50, 100])
