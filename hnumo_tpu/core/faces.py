@@ -129,7 +129,7 @@ def _mirror_signs(nchan: int, code: int, direction: str, vec_pairs) -> list:
     return sign
 
 
-def extract_faces_multi(q, bc: BCs, vec_pairs=()) -> list[FaceLR]:
+def extract_faces_stacked(q, bc: BCs, vec_pairs=()):
     """Nodal (or quad) face traces with halo/BC closure — channel-stacked.
 
     q: (C, ..., ly, lx, m, m) stacked local fields. Channels named in
@@ -143,19 +143,27 @@ def extract_faces_multi(q, bc: BCs, vec_pairs=()) -> list[FaceLR]:
     single isend). On ICI this turns ~32 latency-bound collectives per
     barotropic stage into 4.
 
-    Returns a list of C FaceLR; x-traces (..., ly, lx+1, m), y-traces
-    (..., ly+1, lx, m).
+    Returns stacked (xl, xr, yl, yr); x-traces (C, ..., ly, lx+1, m),
+    y-traces (C, ..., ly+1, lx, m).
     """
-    C = q.shape[0]
-    dtype = q.dtype
     east = q[..., :, :, :, -1]     # (C, ..., ly, lx, m)
     west = q[..., :, :, :, 0]
     north = q[..., :, :, -1, :]
     south = q[..., :, :, 0, :]
+    return extract_faces_from_slabs(east, west, north, south, bc, vec_pairs)
+
+
+def extract_faces_from_slabs(east, west, north, south, bc: BCs, vec_pairs=()):
+    """extract_faces_stacked from precomputed edge slabs (C, ..., ly, lx, m).
+
+    Lets callers that hold fields in a flat element-major layout (the fused
+    Pallas path) build traces without relayouting the full field."""
+    C = east.shape[0]
+    dtype = east.dtype
 
     def msig(code, direction):
         s = _mirror_signs(C, code, direction, vec_pairs)
-        sig = jnp.asarray(s, dtype).reshape((C,) + (1,) * (q.ndim - 2))
+        sig = jnp.asarray(s, dtype).reshape((C,) + (1,) * (east.ndim - 1))
         return sig
 
     # ---- x-direction (face axis extends the lx axis = -2 of the slabs) ----
@@ -188,7 +196,55 @@ def extract_faces_multi(q, bc: BCs, vec_pairs=()) -> list[FaceLR]:
     yl = jnp.concatenate([yl0, north], axis=-3)
     yr = jnp.concatenate([yr0, south[..., 1:, :, :], yrL], axis=-3)
 
-    return [FaceLR(xl=xl[c], xr=xr[c], yl=yl[c], yr=yr[c]) for c in range(C)]
+    return xl, xr, yl, yr
+
+
+def extract_faces_multi(q, bc: BCs, vec_pairs=()) -> list[FaceLR]:
+    """Per-channel FaceLR view of extract_faces_stacked (same semantics)."""
+    xl, xr, yl, yr = extract_faces_stacked(q, bc, vec_pairs)
+    return [FaceLR(xl=xl[c], xr=xr[c], yl=yl[c], yr=yr[c])
+            for c in range(q.shape[0])]
+
+
+def face_views_x(S, bc: BCs):
+    """Element-aligned edge-add views of x-face scatter values.
+
+    Returns (Sw, Se), each (..., ly, lx, m), such that
+    `scatter_face_x(rhs, S, bc)` == adding Se to each element's east edge and
+    Sw to its west edge. Lets a fused kernel apply face scatter without
+    element-coupled indexing (the sign/wall logic lives here).
+    """
+    Se = -S[..., :, 1:, :]
+    w0 = S[..., :, :1, :]
+    if not bc.x_periodic:
+        wfirst, _ = _edge_masks(bc.ax)
+        w0 = _sel(wfirst, -w0, w0)
+    Sw = jnp.concatenate([w0, S[..., :, 1:-1, :]], axis=-2)
+    return Sw, Se
+
+
+def face_views_y(S, bc: BCs):
+    """Element-aligned edge-add views of y-face scatter values (see
+    face_views_x). Returns (Ss, Sn), each (..., ly, lx, m)."""
+    Sn = -S[..., 1:, :, :]
+    s0 = S[..., :1, :, :]
+    if not bc.y_periodic:
+        sfirst, _ = _edge_masks(bc.ay)
+        s0 = _sel(sfirst, -s0, s0)
+    Ss = jnp.concatenate([s0, S[..., 1:-1, :, :]], axis=-3)
+    return Ss, Sn
+
+
+def wall_projection_masks(shape, bc: BCs, dtype):
+    """Multiplicative (E-shaped) masks equivalent to apply_wall_projection.
+
+    shape: (ly, lx, ngl, ngl). Returns (mask_u, mask_v) with 0.0 at nodes
+    where that momentum component is zeroed by the wall projection, 1.0
+    elsewhere. Device-varying under shard_map (edge-shard selects)."""
+    mu = jnp.ones(shape, dtype)
+    mv = jnp.ones(shape, dtype)
+    mu, mv = apply_wall_projection(mu, mv, bc)
+    return mu, mv
 
 
 def extract_faces(u, bc: BCs, v=None) -> tuple[FaceLR, FaceLR | None]:

@@ -58,6 +58,16 @@ class StaticConfig:
     def use_visc(self) -> bool:
         return self.visc_mlswe != 0.0
 
+    @property
+    def fused_tail(self) -> bool:
+        """Whole-stage fused Pallas path (ops.pallas_btp_tail): volume +
+        faces + viscosity + SSPRK update as three kernels. Requires the
+        uniform-geometry operators, the SSP combine (lsrk carries a dq
+        register with a different update), and the nodal viscosity family."""
+        return (self.use_pallas and self.uniform_geom
+                and self.ti_method_btp != "lsrk"
+                and (not self.use_visc or self.method_visc != 1))
+
 
 @dataclasses.dataclass
 class InitialFields:

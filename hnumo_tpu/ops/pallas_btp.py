@@ -198,12 +198,23 @@ class BtpVolOpsUni(NamedTuple):
     ptab: jnp.ndarray    # (6|8, E, nqq): cor, tau_u, tau_v, opbp,
     #                      dpp_ref_q[-1], H_bcl_ref [, gzx, gzy]
     pbp_df: jnp.ndarray  # (E, npts)
+    Gx: jnp.ndarray | None = None  # (npts, npts) nodal d/dx (fused tail)
+    Gy: jnp.ndarray | None = None
 
 
-def operators_uniform(g, P, flat_bottom: bool) -> BtpVolOpsUni:
-    """Build the folded operators (inside jit, shard-local)."""
+def operators_uniform(g, P, flat_bottom: bool, fold_massinv: bool = False,
+                      with_grad: bool = False) -> BtpVolOpsUni:
+    """Build the folded operators (inside jit, shard-local).
+
+    fold_massinv: multiply the scatter operator columns by the (uniform)
+    inverse lumped mass so the kernel emits massinv*rhs directly (the fused
+    tail applies face terms pre-folded the same way). with_grad: also build
+    the nodal-gradient matrices for the LDG viscosity aux variable
+    (reference compute_gradient_uv, src/mod_barotropic_terms.F90:411-443).
+    """
+    ngl = g.psiq.shape[0]
     K = jnp.einsum("jJ,iI->jiJI", g.psiq, g.psiq).reshape(
-        g.psiq.shape[0]**2, g.psiq.shape[1]**2)
+        ngl**2, g.psiq.shape[1]**2)
     Dk = jnp.einsum("jJ,iI->jiJI", g.psiq, g.dpsiq).reshape(K.shape)
     De = jnp.einsum("jJ,iI->jiJI", g.dpsiq, g.psiq).reshape(K.shape)
     wvec = eflat(g.wjac)[0]          # (nqq,) — identical across elements
@@ -212,6 +223,17 @@ def operators_uniform(g, P, flat_bottom: bool) -> BtpVolOpsUni:
     M2 = jnp.concatenate([Dk.T * (wvec * kx)[:, None],
                           De.T * (wvec * ey)[:, None],
                           K.T * wvec[:, None]], axis=0)
+    if fold_massinv:
+        M2 = M2 * eflat(g.massinv)[0][None, :]
+    Gx = Gy = None
+    if with_grad:
+        eye = jnp.eye(ngl, dtype=g.dpsi.dtype)
+        kx_df = g.ksi_x[0, 0, 0, 0]
+        ey_df = g.eta_y[0, 0, 0, 0]
+        Gx = kx_df * jnp.einsum("jJ,iI->jiJI", eye, g.dpsi).reshape(
+            ngl * ngl, ngl * ngl)
+        Gy = ey_df * jnp.einsum("jJ,iI->jiJI", g.dpsi, eye).reshape(
+            ngl * ngl, ngl * ngl)
     chans = [eflat(P.coriolis_quad),
              eflat(P.tau_wind[0]), eflat(P.tau_wind[1]),
              eflat(P.one_over_pbprime),
@@ -219,13 +241,17 @@ def operators_uniform(g, P, flat_bottom: bool) -> BtpVolOpsUni:
     if not flat_bottom:
         chans += [eflat(P.grad_zbot_quad[0]), eflat(P.grad_zbot_quad[1])]
     return BtpVolOpsUni(K=K, M2=M2, ptab=jnp.stack(chans),
-                        pbp_df=eflat(P.one_over_pbprime_df))
+                        pbp_df=eflat(P.one_over_pbprime_df), Gx=Gx, Gy=Gy)
 
 
 def _kernel_uni(qb_ref, qpl_ref, ptab_ref, coup_ref, K_ref, M2_ref, pbp_ref,
-                accv_in, accn_in,
-                rhs_ref, accv_ref, accn_ref,
-                *, grav, botfr, cd, alpha_bot, flat_bottom):
+                *rest,
+                grav, botfr, cd, alpha_bot, flat_bottom, with_grad=False):
+    if with_grad:
+        (Gx_ref, Gy_ref, accv_in, accn_in, agr_in,
+         rhs_ref, accv_ref, accn_ref, gv_ref, agr_ref) = rest
+    else:
+        accv_in, accn_in, rhs_ref, accv_ref, accn_ref = rest
     K, M2 = K_ref[0], M2_ref[0]
     pet = qb_ref.dtype
     hi = jax.lax.Precision.HIGHEST
@@ -293,8 +319,22 @@ def _kernel_uni(qb_ref, qpl_ref, ptab_ref, coup_ref, K_ref, M2_ref, pbp_ref,
     qb = qb_ref[:]
     t_df = qb[1] * pbp_ref[:]
     inv_pb = 1.0 / qb[0]
-    incn = jnp.stack([t_df * (2.0 + t_df), qb[2] * inv_pb, qb[3] * inv_pb])
+    u_df = qb[2] * inv_pb
+    v_df = qb[3] * inv_pb
+    incn = jnp.stack([t_df * (2.0 + t_df), u_df, v_df])
     accn_ref[:] = accn_in[:] + incn
+
+    if with_grad:
+        # nodal velocity gradient (LDG viscosity aux; reference
+        # compute_gradient_uv, src/mod_barotropic_terms.F90:411-443)
+        Gx, Gy = Gx_ref[0], Gy_ref[0]
+        gv = jnp.stack([
+            jnp.dot(u_df, Gx, preferred_element_type=pet, precision=hi),
+            jnp.dot(u_df, Gy, preferred_element_type=pet, precision=hi),
+            jnp.dot(v_df, Gx, preferred_element_type=pet, precision=hi),
+            jnp.dot(v_df, Gy, preferred_element_type=pet, precision=hi)])
+        gv_ref[:] = gv
+        agr_ref[:] = agr_in[:] + gv
 
 
 @functools.partial(jax.jit, static_argnames=("grav", "botfr", "cd",
@@ -312,6 +352,28 @@ def btp_volume_pallas_uni(ops: BtpVolOpsUni, qb_n, qpln, accv, accn, coup_q,
     (callers pad via pad_elements). Returns (rhs (3, E, npts) without
     massinv, accv', accn').
     """
+    rhs, accv2, accn2 = _volume_uni_call(
+        ops, qb_n, qpln, accv, accn, coup_q, None, grav=grav, botfr=botfr,
+        cd=cd, alpha_bot=alpha_bot, flat_bottom=flat_bottom,
+        interpret=interpret)
+    return rhs, accv2, accn2
+
+
+def btp_volume_grad_pallas_uni(ops: BtpVolOpsUni, qb_n, qpln, accv, accn,
+                               coup_q, agr, *, grav, botfr, cd, alpha_bot,
+                               flat_bottom, interpret=False):
+    """Volume kernel variant for the fused tail: also emits the nodal
+    velocity gradient (LDG viscosity aux) and updates its accumulator.
+    Returns (rhs, accv', accn', gv (4, E, npts), agr')."""
+    return _volume_uni_call(
+        ops, qb_n, qpln, accv, accn, coup_q, agr, grav=grav, botfr=botfr,
+        cd=cd, alpha_bot=alpha_bot, flat_bottom=flat_bottom,
+        interpret=interpret)
+
+
+def _volume_uni_call(ops, qb_n, qpln, accv, accn, coup_q, agr, *, grav,
+                     botfr, cd, alpha_bot, flat_bottom, interpret):
+    with_grad = agr is not None
     E, npts = qb_n.shape[1], qb_n.shape[2]
     nqq = coup_q.shape[2]
     T = _pick_tile(E, cap=_tile_cap(npts, nqq))
@@ -333,30 +395,46 @@ def btp_volume_pallas_uni(ops: BtpVolOpsUni, qb_n, qpln, accv, accn, coup_q,
         return jnp.broadcast_to(m[None], (nblk,) + m.shape)
 
     kernel = functools.partial(_kernel_uni, grav=grav, botfr=botfr, cd=cd,
-                               alpha_bot=alpha_bot, flat_bottom=flat_bottom)
+                               alpha_bot=alpha_bot, flat_bottom=flat_bottom,
+                               with_grad=with_grad)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
-    rhs, accv2, accn2 = pl.pallas_call(
+    in_specs = [eb(4, npts), eb(3, npts), eb(ops.ptab.shape[0], nqq),
+                eb(4, nqq),
+                op_spec(ops.K.shape), op_spec(ops.M2.shape),
+                pl.BlockSpec((T, npts), lambda i: (i, z),
+                             memory_space=pltpu.VMEM)]
+    operands = [qb_n, qpln, ops.ptab, coup_q, rep(ops.K), rep(ops.M2),
+                ops.pbp_df]
+    out_specs = [eb(3, npts), eb(12, nqq), eb(3, npts)]
+    out_shape = [jax.ShapeDtypeStruct((3, E, npts), dtype),
+                 jax.ShapeDtypeStruct((12, E, nqq), dtype),
+                 jax.ShapeDtypeStruct((3, E, npts), dtype)]
+    if with_grad:
+        in_specs += [op_spec(ops.Gx.shape), op_spec(ops.Gy.shape),
+                     eb(12, nqq), eb(3, npts), eb(4, npts)]
+        operands += [rep(ops.Gx), rep(ops.Gy), accv, accn, agr]
+        out_specs += [eb(4, npts), eb(4, npts)]
+        out_shape += [jax.ShapeDtypeStruct((4, E, npts), dtype),
+                      jax.ShapeDtypeStruct((4, E, npts), dtype)]
+        aliases = {9: 1, 10: 2, 11: 4}
+    else:
+        in_specs += [eb(12, nqq), eb(3, npts)]
+        operands += [accv, accn]
+        aliases = {7: 1, 8: 2}
+    out = pl.pallas_call(
         kernel,
         grid=(nblk,),
-        in_specs=[eb(4, npts), eb(3, npts), eb(ops.ptab.shape[0], nqq),
-                  eb(4, nqq),
-                  op_spec(ops.K.shape), op_spec(ops.M2.shape),
-                  pl.BlockSpec((T, npts), lambda i: (i, z),
-                               memory_space=pltpu.VMEM),
-                  eb(12, nqq), eb(3, npts)],
-        out_specs=[eb(3, npts), eb(12, nqq), eb(3, npts)],
-        out_shape=[jax.ShapeDtypeStruct((3, E, npts), dtype),
-                   jax.ShapeDtypeStruct((12, E, nqq), dtype),
-                   jax.ShapeDtypeStruct((3, E, npts), dtype)],
-        input_output_aliases={7: 1, 8: 2},
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
         interpret=interpret,
         **kwargs,
-    )(qb_n, qpln, ops.ptab, coup_q, rep(ops.K), rep(ops.M2), ops.pbp_df,
-      accv, accn)
-    return rhs, accv2, accn2
+    )(*operands)
+    return out
 
 
 def _tile_cap(npts: int, nqq: int) -> int:

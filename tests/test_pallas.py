@@ -192,3 +192,60 @@ def test_pad_elements_prime():
         b = np.asarray(getattr(s_p, name))
         np.testing.assert_allclose(b, a, atol=1e-11 * max(np.abs(a).max(), 1),
                                    err_msg=name)
+
+
+def test_fused_tail_no_visc_bump_parity():
+    """Fused face+update tail (ops/pallas_btp_tail) on the inviscid,
+    varying-bathymetry bump case: 2 full steps match XLA, and mass is
+    conserved to the reference's 1e-12 gate (CI/bump/check.F90:58-62)."""
+    cfg = Config(nelx=10, nely=10, nopx=4, nopy=4, xdims=(0.0, 1e6),
+                 ydims=(0.0, 1e6), nlayers=2, dt=100.0, dt_btp=1.8,
+                 time_final=1e9, test_case="bump", f0=0.0, beta=0.0,
+                 botfr=0, cd_mlswe=0.0, method_visc=0, visc_mlswe=0.0,
+                 dtype="float64")
+    m_x = Model(cfg)
+    cfg_p = Config(**{**cfg.__dict__, "use_pallas": "on"})
+    m_p = Model(cfg_p)
+    assert m_p.static.fused_tail and not m_p.static.use_visc
+
+    s_x, s_p = m_x.state0, m_p.state0
+    wj = np.asarray(m_x.g.wjac_df, np.float64)
+    ref = np.asarray(m_x.P.dpp_ref_df, np.float64)
+    mass0 = float((wj[None] * (ref + np.asarray(s_p.q_df[0]))).sum())
+    for _ in range(2):
+        s_x = m_x.step(s_x)
+        s_p = m_p.step(s_p)
+    for name in ("qb_df", "q_df", "qprime_df"):
+        a = np.asarray(getattr(s_x, name))
+        b = np.asarray(getattr(s_p, name))
+        np.testing.assert_allclose(b, a, atol=1e-11 * max(np.abs(a).max(), 1),
+                                   err_msg=name)
+    mass = float((wj[None] * (ref + np.asarray(s_p.q_df[0]))).sum())
+    assert abs(mass - mass0) / mass0 < 1e-12
+
+
+def test_fused_tail_sharded_matches_serial():
+    """Fused tail under shard_map on the fake 8-device mesh: the ppermute
+    halo slabs feed the flat-layout trace packing identically."""
+    from hnumo_tpu.parallel.sharding import make_mesh
+
+    cfg = Config(nelx=8, nely=8, nopx=4, nopy=4, xdims=(0.0, 2e6),
+                 ydims=(0.0, 2e6), nlayers=2, dt=400.0, dt_btp=20.0,
+                 time_final=1e9, test_case="double_gyre", f0=9.3e-5,
+                 beta=2e-11, botfr=1, cd_mlswe=1e-7,
+                 method_visc=2, visc_mlswe=100.0, dtype="float64",
+                 use_pallas="on")
+    m1 = Model(cfg)
+    assert m1.static.fused_tail
+    mesh = make_mesh(jax.devices(), shape=(2, 4))
+    mN = Model(cfg, mesh=mesh)
+
+    s1, sN = m1.state0, mN.state0
+    for _ in range(2):
+        s1 = m1.step(s1)
+        sN = mN.step(sN)
+    for name in ("qb_df", "q_df", "qprime_df"):
+        a = np.asarray(getattr(s1, name))
+        b = np.asarray(getattr(sN, name))
+        np.testing.assert_allclose(b, a, atol=1e-11 * max(np.abs(a).max(), 1),
+                                   err_msg=name)

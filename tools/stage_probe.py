@@ -143,8 +143,14 @@ def main():
     t_vol = timeit(jax.jit(vol_scan), qb_df, qprime_df)
     print(f"volume(+acc) x{N}: {t_vol*1e3:8.2f} ms -> {t_vol/N*1e6:7.1f} us/stage")
 
-    # ---- full model step ----
-    t_step = timeit(m.step, s, n=3)
+    # ---- full model step (reassign: step donates its input buffer) ----
+    s = m.step(s)
+    jax.block_until_ready(s)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        s = m.step(s)
+    jax.block_until_ready(s)
+    t_step = (time.perf_counter() - t0) / 3
     print(f"model step: {t_step*1e3:8.2f} ms")
 
 
