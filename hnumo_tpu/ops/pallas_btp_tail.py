@@ -85,10 +85,18 @@ def _pad_f(a, Fp, axis=-2):
 
 
 def face_tile(nq: int, ngl: int, Fall: int) -> tuple[int, int]:
-    """(padded face count, tile): ~2 MB VMEM block sets, never degenerate."""
+    """(padded face count, tile): ~2 MB VMEM block sets, never degenerate.
+
+    The tile is the block's second-to-last dim, which Mosaic requires to be
+    a multiple of the 8-row sublane (or the full axis) — round the cap down
+    to a multiple of 8 and pad the face axis up to a tile multiple."""
     per_face = 4 * (16 * ngl + 19 * nq + 15 * ngl + 32 * nq + 16 * ngl + 5 * ngl)
     cap = min(1024, max(128, int(2e6 // per_face)))
-    t = min(cap, Fall)
+    cap -= cap % 8
+    if Fall <= cap:
+        Fp = ((Fall + 7) // 8) * 8
+        return Fp, Fp
+    t = cap
     Fp = ((Fall + t - 1) // t) * t
     return Fp, t
 
