@@ -69,6 +69,13 @@ class Config:
     # --- non-reference extensions ---
     dtype: str = "float64"         # compute dtype ("float64" validation, "float32" perf)
     use_pallas: str = "auto"       # fused TPU kernels: "auto" | "on" | "off"
+    # Whole-stage fused Pallas tail (ops/pallas_btp_tail): "on" | "off".
+    # OFF by default: at the flagship 32x32 p=4 f32 config the three-kernel
+    # tail measured 68 ms/step vs 22 ms/step for the default path (Pallas
+    # volume kernel + XLA faces) on v5e — per-stage pallas_call dispatch
+    # overhead x3 kernels x~200 stages dominates at these sizes (A/B table
+    # in docs/performance.md). Kept for large-grid experiments.
+    fused_tail: str = "off"
     # Reproduce the reference's wind/bottom-stress vertical distribution
     # VERBATIM, including its indexing slip (src/mod_create_rhs_mlswe.F90:
     # 380-382: the pressure accumulator adds the LAST layer's (dp',u',v')

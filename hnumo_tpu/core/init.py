@@ -44,6 +44,7 @@ class StaticConfig:
     Pbstress: float
     use_pallas: bool = False      # fused TPU kernels (ops.pallas_btp)
     pallas_interpret: bool = False  # interpret mode (CPU testing)
+    fused_tail_on: bool = False   # opt-in whole-stage fused tail (config)
     compat_reference_stress: bool = False  # verbatim reference stress slip
     uniform_geom: bool = False    # affine brick mesh with constant metrics
     #                               (enables the folded-operator v2 kernel)
@@ -63,8 +64,11 @@ class StaticConfig:
         """Whole-stage fused Pallas path (ops.pallas_btp_tail): volume +
         faces + viscosity + SSPRK update as three kernels. Requires the
         uniform-geometry operators, the SSP combine (lsrk carries a dq
-        register with a different update), and the nodal viscosity family."""
-        return (self.use_pallas and self.uniform_geom
+        register with a different update), and the nodal viscosity family.
+        OPT-IN via Config.fused_tail="on": measured slower than the default
+        (Pallas volume + XLA faces) at production sizes on v5e — see
+        docs/performance.md A/B table."""
+        return (self.fused_tail_on and self.use_pallas and self.uniform_geom
                 and self.ti_method_btp != "lsrk"
                 and (not self.use_visc or self.method_visc != 1))
 
@@ -553,6 +557,7 @@ def build_precomputed(cfg: Config, geom: Geometry, dtype, zbot_ext=None) -> tupl
         Pstress=float((grav / ini.alpha[0]) * 50.0),
         Pbstress=float((grav / ini.alpha[L - 1]) * 10.0),
         use_pallas=use_pallas, pallas_interpret=interp,
+        fused_tail_on=(cfg.fused_tail == "on"),
         compat_reference_stress=cfg.compat_reference_stress,
         uniform_geom=uniform_geom, flat_bottom=flat_bottom,
         debug_checks=cfg.debug_checks,

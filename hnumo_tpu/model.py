@@ -117,9 +117,17 @@ class Model:
             self.P = jax.device_put(self.P, jax.tree.map(
                 lambda s: NamedSharding(mesh, s), pspec, is_leaf=is_spec))
 
+            # check_vma stays ON for compiled (TPU) runs — pallas outputs
+            # declare their varying axes (ops.pallas_btp.sds). Interpret-mode
+            # pallas (CPU tests / dryrun) hits a JAX-internal limitation: the
+            # HLO interpreter's block dynamic_slice mixes varying operands
+            # with replicated loop indices and fails the vma check, so the
+            # check is disabled for that mode only.
+            check_vma = not (static.use_pallas and static.pallas_interpret)
             step_local = shard_map(
                 lambda state, Pre, geo: ti_rk_bcl(static, Pre, geo, bcs, state),
-                mesh=mesh, in_specs=(sspec, pspec, gspec), out_specs=sspec)
+                mesh=mesh, in_specs=(sspec, pspec, gspec), out_specs=sspec,
+                check_vma=check_vma)
 
             P_tables, g_tables = self.P, self.g
 

@@ -55,6 +55,41 @@ def eflat(a):
                                      a.shape[-2] * a.shape[-1]))
 
 
+def sds(shape, dtype, *operands):
+    """ShapeDtypeStruct for pallas_call outputs, carrying the union of the
+    operands' varying-manual-axes (vma). Under jax.shard_map with
+    check_vma=True (the default), pallas_call outputs must declare which
+    mesh axes they vary over or tracing fails; a kernel output varies over
+    exactly the axes any of its inputs varies over (the kernel is
+    per-shard-local)."""
+    vma = frozenset()
+    for a in operands:
+        vma = vma | getattr(jax.typeof(a), "vma", frozenset())
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def align_vma(*arrays):
+    """Promote every array to the union of the group's varying-manual-axes.
+
+    Under jax.shard_map (check_vma=True) pallas_call operands must agree on
+    which mesh axes they vary over; the static operator tables are
+    replicated while the state is device-varying, so pcast the tables up to
+    match. Outside shard_map this is the identity."""
+    vma = frozenset()
+    for a in arrays:
+        vma = vma | getattr(jax.typeof(a), "vma", frozenset())
+    if not vma:
+        return arrays
+    out = []
+    for a in arrays:
+        have = getattr(jax.typeof(a), "vma", frozenset())
+        need = tuple(ax for ax in vma if ax not in have)
+        out.append(jax.lax.pcast(a, need, to="varying") if need else a)
+    return tuple(out)
+
+
 def operators_from_tables(g, P) -> BtpVolOperators:
     """Build the flattened operator tables from device geometry inside jit.
 
@@ -409,16 +444,16 @@ def _volume_uni_call(ops, qb_n, qpln, accv, accn, coup_q, agr, *, grav,
     operands = [qb_n, qpln, ops.ptab, coup_q, rep(ops.K), rep(ops.M2),
                 ops.pbp_df]
     out_specs = [eb(3, npts), eb(12, nqq), eb(3, npts)]
-    out_shape = [jax.ShapeDtypeStruct((3, E, npts), dtype),
-                 jax.ShapeDtypeStruct((12, E, nqq), dtype),
-                 jax.ShapeDtypeStruct((3, E, npts), dtype)]
+    out_shape = [sds((3, E, npts), dtype, qb_n, accv),
+                 sds((12, E, nqq), dtype, qb_n, accv),
+                 sds((3, E, npts), dtype, qb_n, accn)]
     if with_grad:
         in_specs += [op_spec(ops.Gx.shape), op_spec(ops.Gy.shape),
                      eb(12, nqq), eb(3, npts), eb(4, npts)]
         operands += [rep(ops.Gx), rep(ops.Gy), accv, accn, agr]
         out_specs += [eb(4, npts), eb(4, npts)]
-        out_shape += [jax.ShapeDtypeStruct((4, E, npts), dtype),
-                      jax.ShapeDtypeStruct((4, E, npts), dtype)]
+        out_shape += [sds((4, E, npts), dtype, qb_n, agr),
+                      sds((4, E, npts), dtype, qb_n, agr)]
         aliases = {9: 1, 10: 2, 11: 4}
     else:
         in_specs += [eb(12, nqq), eb(3, npts)]
@@ -433,7 +468,7 @@ def _volume_uni_call(ops, qb_n, qpln, accv, accn, coup_q, agr, *, grav,
         input_output_aliases=aliases,
         interpret=interpret,
         **kwargs,
-    )(*operands)
+    )(*align_vma(*operands))
     return out
 
 
@@ -520,12 +555,12 @@ def btp_volume_pallas(ops: BtpVolOperators, qb_n, qpl_n, coup_q,
                                memory_space=pltpu.VMEM),
                   eb(12, nqq), eb(3, npts)],
         out_specs=[eb(3, npts), eb(12, nqq), eb(3, npts)],
-        out_shape=[jax.ShapeDtypeStruct((3, E, npts), dtype),
-                   jax.ShapeDtypeStruct((12, E, nqq), dtype),
-                   jax.ShapeDtypeStruct((3, E, npts), dtype)],
+        out_shape=[sds((3, E, npts), dtype, qb_n, accv),
+                   sds((12, E, nqq), dtype, qb_n, accv),
+                   sds((3, E, npts), dtype, qb_n, accn)],
         input_output_aliases={10: 1, 11: 2},
         interpret=interpret,
-    )(qb_n, qpl_n, ops.met, ops.ptab, coup_q,
-      rep(ops.K), rep(ops.KT), rep(ops.DkT), rep(ops.DeT),
-      ops.pbp_df, accv, accn)
+    )(*align_vma(qb_n, qpl_n, ops.met, ops.ptab, coup_q,
+                 rep(ops.K), rep(ops.KT), rep(ops.DkT), rep(ops.DeT),
+                 ops.pbp_df, accv, accn))
     return rhs, accv2, accn2

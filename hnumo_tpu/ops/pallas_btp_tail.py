@@ -43,6 +43,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_btp import align_vma, sds
+
 _HI = jax.lax.Precision.HIGHEST
 
 
@@ -272,17 +274,17 @@ def btp_faces_pallas(tabs: FaceTailTables, trL, trR, af, ag,
         in_specs += [fb(10, ngl), fb(16, nq), fb(8, ngl)]
         operands += [tabs.bgf, af, ag]
         out_specs = [fb(3, ngl), fb(2, ngl), fb(16, nq), fb(8, ngl)]
-        out_shape = [jax.ShapeDtypeStruct((3, Fp, ngl), dtype),
-                     jax.ShapeDtypeStruct((2, Fp, ngl), dtype),
-                     jax.ShapeDtypeStruct((16, Fp, nq), dtype),
-                     jax.ShapeDtypeStruct((8, Fp, ngl), dtype)]
+        out_shape = [sds((3, Fp, ngl), dtype, trL, af),
+                     sds((2, Fp, ngl), dtype, trL, af),
+                     sds((16, Fp, nq), dtype, trL, af),
+                     sds((8, Fp, ngl), dtype, trL, ag)]
         aliases = {6: 2, 7: 3}
     else:
         in_specs += [fb(16, nq)]
         operands += [af]
         out_specs = [fb(3, ngl), fb(16, nq)]
-        out_shape = [jax.ShapeDtypeStruct((3, Fp, ngl), dtype),
-                     jax.ShapeDtypeStruct((16, Fp, nq), dtype)]
+        out_shape = [sds((3, Fp, ngl), dtype, trL, af),
+                     sds((16, Fp, nq), dtype, trL, af)]
         aliases = {5: 1}
     out = pl.pallas_call(
         kernel,
@@ -293,7 +295,7 @@ def btp_faces_pallas(tabs: FaceTailTables, trL, trR, af, ag,
         input_output_aliases=aliases,
         interpret=interpret,
         **kwargs,
-    )(*operands)
+    )(*align_vma(*operands))
     if use_visc:
         return out[0], out[1], out[2], out[3]
     return out[0], None, out[1], ag
@@ -449,8 +451,8 @@ def btp_update_pallas(ops: UpdateOps, w, rhs, edges, vedges, qb0, qb1, qb2,
         grid=(nblk,),
         in_specs=in_specs,
         out_specs=eb(4, npts),
-        out_shape=jax.ShapeDtypeStruct((4, Ep, npts), dtype),
+        out_shape=sds((4, Ep, npts), dtype, rhs, qb1),
         interpret=interpret,
         **kwargs,
-    )(*operands)
+    )(*align_vma(*operands))
     return out

@@ -204,7 +204,7 @@ def test_fused_tail_no_visc_bump_parity():
                  botfr=0, cd_mlswe=0.0, method_visc=0, visc_mlswe=0.0,
                  dtype="float64")
     m_x = Model(cfg)
-    cfg_p = Config(**{**cfg.__dict__, "use_pallas": "on"})
+    cfg_p = Config(**{**cfg.__dict__, "use_pallas": "on", "fused_tail": "on"})
     m_p = Model(cfg_p)
     assert m_p.static.fused_tail and not m_p.static.use_visc
 
@@ -224,6 +224,36 @@ def test_fused_tail_no_visc_bump_parity():
     assert abs(mass - mass0) / mass0 < 1e-12
 
 
+def test_pallas_volume_sharded_matches_serial():
+    """Default production path (Pallas volume kernel + XLA faces) under
+    shard_map on the fake 8-device mesh — the configuration `use_pallas=
+    "auto"` selects for f32 TPU runs with a device mesh (guards VERDICT r3
+    item 2: auto must never select a path that cannot run under the active
+    mesh)."""
+    from hnumo_tpu.parallel.sharding import make_mesh
+
+    cfg = Config(nelx=8, nely=8, nopx=4, nopy=4, xdims=(0.0, 2e6),
+                 ydims=(0.0, 2e6), nlayers=2, dt=400.0, dt_btp=20.0,
+                 time_final=1e9, test_case="double_gyre", f0=9.3e-5,
+                 beta=2e-11, botfr=1, cd_mlswe=1e-7,
+                 method_visc=2, visc_mlswe=100.0, dtype="float64",
+                 use_pallas="on")
+    m1 = Model(cfg)
+    assert m1.static.use_pallas and not m1.static.fused_tail
+    mesh = make_mesh(jax.devices(), shape=(2, 4))
+    mN = Model(cfg, mesh=mesh)
+
+    s1, sN = m1.state0, mN.state0
+    for _ in range(2):
+        s1 = m1.step(s1)
+        sN = mN.step(sN)
+    for name in ("qb_df", "q_df", "qprime_df"):
+        a = np.asarray(getattr(s1, name))
+        b = np.asarray(getattr(sN, name))
+        np.testing.assert_allclose(b, a, atol=1e-11 * max(np.abs(a).max(), 1),
+                                   err_msg=name)
+
+
 def test_fused_tail_sharded_matches_serial():
     """Fused tail under shard_map on the fake 8-device mesh: the ppermute
     halo slabs feed the flat-layout trace packing identically."""
@@ -234,7 +264,7 @@ def test_fused_tail_sharded_matches_serial():
                  time_final=1e9, test_case="double_gyre", f0=9.3e-5,
                  beta=2e-11, botfr=1, cd_mlswe=1e-7,
                  method_visc=2, visc_mlswe=100.0, dtype="float64",
-                 use_pallas="on")
+                 use_pallas="on", fused_tail="on")
     m1 = Model(cfg)
     assert m1.static.fused_tail
     mesh = make_mesh(jax.devices(), shape=(2, 4))
