@@ -23,10 +23,12 @@ from tools.freeze_goldens import bump_config, dgyre_config, fingerprint
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
 
-def _replay_and_check(name, cfg):
+def _replay_and_check(name, cfg, max_steps=None):
     path = os.path.join(GOLDEN_DIR, f"{name}.npz")
     g = np.load(path)
     checkpoints = list(g["checkpoints"])
+    if max_steps is not None:
+        checkpoints = [c for c in checkpoints if c <= max_steps]
     m = Model(cfg)
     s = m.state0
     done = 0
@@ -53,6 +55,12 @@ def test_bump_short_golden():
 
 
 def test_double_gyre_short_golden():
+    # first 10 steps every run (~30 s); the 100-step tail is slow-marked
+    _replay_and_check("dgyre_traj", dgyre_config(), max_steps=10)
+
+
+@pytest.mark.slow
+def test_double_gyre_long_golden():
     _replay_and_check("dgyre_traj", dgyre_config())
 
 

@@ -5,6 +5,8 @@ LDG viscosity (method_visc=1) serial + sharded, no-slip walls, kstages 1..4 +
 LSRK, and dam/seamount initial conditions. Every StaticConfig branch is now
 executed by at least one test.
 """
+import functools
+
 import jax
 import numpy as np
 import pytest
@@ -182,10 +184,18 @@ def test_noslip_walls(code):
 # barotropic integrator variants
 # ---------------------------------------------------------------------------
 
-def _qb_err(s, s5):
-    a, b = np.asarray(s.qb_df), np.asarray(s5.qb_df)
+def _qb_err(s, qb5):
+    a, b = np.asarray(s.qb_df), qb5
     return max(np.abs(a[v] - b[v]).max() / max(np.abs(b[v]).max(), 1e-30)
                for v in range(4))
+
+
+@functools.lru_cache(maxsize=None)
+def _ssp53_reference_qb(dtb):
+    """SSP(5,3) reference solution shared by all integrator-variant tests
+    (one compile instead of one per parametrized case)."""
+    m, s = _run_and_gate(_bump(dt_btp=dtb), nsteps=3)
+    return np.asarray(s.qb_df)
 
 
 @pytest.mark.parametrize("kstages", [1, 2, 3, 4])
@@ -197,8 +207,7 @@ def test_kstages_variants(kstages):
     errs = []
     for dtb in (1.0, 0.5):
         m, s = _run_and_gate(_bump(kstages=kstages, dt_btp=dtb), nsteps=3)
-        m5, s5 = _run_and_gate(_bump(dt_btp=dtb), nsteps=3)
-        errs.append(_qb_err(s, s5))
+        errs.append(_qb_err(s, _ssp53_reference_qb(dtb)))
     assert errs[1] < 0.75 * errs[0], errs
     # higher-order members stay genuinely close to the reference scheme
     if kstages >= 3:
@@ -212,8 +221,7 @@ def test_lsrk_variant():
     for dtb in (1.0, 0.5):
         m, s = _run_and_gate(_bump(ti_method_btp="lsrk", kstages=5,
                                    dt_btp=dtb), nsteps=3)
-        m5, s5 = _run_and_gate(_bump(dt_btp=dtb), nsteps=3)
-        errs.append(_qb_err(s, s5))
+        errs.append(_qb_err(s, _ssp53_reference_qb(dtb)))
     assert errs[1] < 0.5 * errs[0], errs   # measured ratio ~0.12 (~3rd order)
     assert errs[0] < 5e-3, errs
 
