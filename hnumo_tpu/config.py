@@ -76,6 +76,14 @@ class Config:
     # overhead x3 kernels x~200 stages dominates at these sizes (A/B table
     # in docs/performance.md). Kept for large-grid experiments.
     fused_tail: str = "off"
+    # Folded uniform-geometry volume kernel ("on" | "off"). OFF by default:
+    # folding the constant metrics into the Kronecker operator tables (and
+    # fusing the viscosity gradient) measured SLOWER than the general-
+    # geometry volume kernel at every production size on v5e (34.5 vs
+    # 23.8 ms/step at 32x32, 89.7 vs 71.8 at 64x64 — A/B table in
+    # docs/performance.md). Kept for affine-mesh experiments; the fused
+    # tail requires and implies these operators independently.
+    uni_volume: str = "off"
     # Reproduce the reference's wind/bottom-stress vertical distribution
     # VERBATIM, including its indexing slip (src/mod_create_rhs_mlswe.F90:
     # 380-382: the pressure accumulator adds the LAST layer's (dp',u',v')

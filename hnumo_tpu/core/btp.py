@@ -271,8 +271,35 @@ def _averages_view(static, vol, nod, fxa, fya, gvx, gvy, graduvb) -> BtpAverages
                        faces=Pair(face(fxa, gvx), face(fya, gvy)))
 
 
+def build_vol_operators(static, g: DeviceGeom, P: Precomputed):
+    """Flat padded Pallas volume operator tables (state-independent).
+
+    Everything here depends only on geometry and precomputed physics
+    tables, so single-device callers evaluate it once at model build and
+    pass the result through `barotropic_solve(vol_ops=...)` — keeping it
+    out of the per-step program (it would otherwise be recomputed every
+    baroclinic step, ~7 ms at 32x32 on v5e). Returns None when the Pallas
+    path is off."""
+    if not static.use_pallas or static.fused_tail:
+        return None
+    from ..ops.pallas_btp import (operators_from_tables, operators_uniform,
+                                  pad_e, pad_elements)
+
+    ney, nex = g.wjac.shape[0], g.wjac.shape[1]
+    nq, ngl = g.wjac.shape[-1], g.wjac_df.shape[-1]
+    Ep, _ = pad_elements(ney * nex, npts=ngl * ngl, nqq=nq * nq)
+    if static.uni_volume:
+        ops = operators_uniform(g, P, static.flat_bottom)
+        return ops._replace(ptab=pad_e(ops.ptab, Ep),
+                            pbp_df=pad_e(ops.pbp_df, Ep, axis=0))
+    ops = operators_from_tables(g, P)
+    return ops._replace(met=pad_e(ops.met, Ep),
+                        ptab=pad_e(ops.ptab, Ep),
+                        pbp_df=pad_e(ops.pbp_df, Ep, axis=0))
+
+
 def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
-                     coup: CouplingFields, qb_df, qprime_df):
+                     coup: CouplingFields, qb_df, qprime_df, vol_ops=None):
     """SSPRK barotropic sub-cycling over N_btp steps x kstages stages.
 
     Reference ti_barotropic_ssprk_mlswe (src/mod_rk_mlswe.F90:19-151).
@@ -331,30 +358,27 @@ def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
     qpl_q = interp_n2q(g, qprime_df[:, -1])
     if static.use_pallas:
         from ..ops.pallas_btp import (btp_volume_pallas,
-                                      btp_volume_pallas_uni, eflat,
-                                      operators_from_tables,
-                                      operators_uniform, pad_e)
+                                      btp_volume_pallas_uni, eflat, pad_e)
 
         coup_flat = pad_e(jnp.stack([
             eflat(coup.Q_uu_dp), eflat(coup.Q_uv_dp),
             eflat(coup.Q_vv_dp), eflat(coup.dH_bcl)]), Ep)
-        if static.uniform_geom:
-            ops = operators_uniform(g, P, static.flat_bottom)
-            ops = ops._replace(ptab=pad_e(ops.ptab, Ep),
-                               pbp_df=pad_e(ops.pbp_df, Ep, axis=0))
+        # the operator tables are state-independent; single-device callers
+        # precompute them ONCE at model build (Model._vol_ops) instead of
+        # per step — under shard_map they are built here from the local
+        # block (cost amortized over N_btp*kstages stages)
+        ops = vol_ops if vol_ops is not None else build_vol_operators(
+            static, g, P)
+        if static.uni_volume:
             qpln_flat = pad_e(eflat(qprime_df[:, -1]), Ep)
         else:
-            ops = operators_from_tables(g, P)
-            ops = ops._replace(met=pad_e(ops.met, Ep),
-                               ptab=pad_e(ops.ptab, Ep),
-                               pbp_df=pad_e(ops.pbp_df, Ep, axis=0))
             qplq_flat = pad_e(eflat(qpl_q), Ep)
 
     def stage_volume(qb1, accv, accn):
         """Volume RHS + volume/nodal accumulator update for one stage."""
         if static.use_pallas:
             qbf = pad_e(eflat(qb1), Ep)
-            if static.uniform_geom:
+            if static.uni_volume:
                 rhs_f, accv, accn = btp_volume_pallas_uni(
                     ops, qbf, qpln_flat, accv, accn, coup_flat,
                     grav=static.gravity, botfr=static.botfr,

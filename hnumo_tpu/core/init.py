@@ -47,7 +47,11 @@ class StaticConfig:
     fused_tail_on: bool = False   # opt-in whole-stage fused tail (config)
     compat_reference_stress: bool = False  # verbatim reference stress slip
     uniform_geom: bool = False    # affine brick mesh with constant metrics
-    #                               (enables the folded-operator v2 kernel)
+    #                               (a geometry FACT; enables the folded-
+    #                               operator kernels when requested)
+    uni_volume_on: bool = False   # opt-in folded uniform-geometry volume
+    #                               kernel (measured slower than the general
+    #                               kernel at 32-256 on v5e; performance.md)
     flat_bottom: bool = False     # grad(z_bot) == 0 everywhere (drops the
     #                               bathymetry-gradient source channels)
     debug_checks: bool = False    # enable jax.debug_nans-style NaN checking
@@ -58,6 +62,16 @@ class StaticConfig:
     @property
     def use_visc(self) -> bool:
         return self.visc_mlswe != 0.0
+
+    @property
+    def uni_volume(self) -> bool:
+        """Folded uniform-geometry volume kernel (btp_volume_pallas_uni).
+
+        OPT-IN via Config.uni_volume="on": the folded operators fuse the
+        metric terms into the Kronecker matrices but lose to the general
+        kernel on v5e at every measured size (34.5 vs 23.8 ms/step at
+        32x32 — docs/performance.md A/B table)."""
+        return self.uni_volume_on and self.use_pallas and self.uniform_geom
 
     @property
     def fused_tail(self) -> bool:
@@ -558,6 +572,7 @@ def build_precomputed(cfg: Config, geom: Geometry, dtype, zbot_ext=None) -> tupl
         Pbstress=float((grav / ini.alpha[L - 1]) * 10.0),
         use_pallas=use_pallas, pallas_interpret=interp,
         fused_tail_on=(cfg.fused_tail == "on"),
+        uni_volume_on=(cfg.uni_volume == "on"),
         compat_reference_stress=cfg.compat_reference_stress,
         uniform_geom=uniform_geom, flat_bottom=flat_bottom,
         debug_checks=cfg.debug_checks,

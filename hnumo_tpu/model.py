@@ -81,13 +81,28 @@ class Model:
 
         self.mesh = mesh
         if mesh is None:
-            static, P, g, bcs = self.static, self.P, self.g, self.bc
+            static, bcs = self.static, self.bc
+
+            # P and g are jit ARGUMENTS, not closure captures: captured
+            # device arrays are baked into the HLO as literal constants, so
+            # the compile payload (and compile time) grows with the grid —
+            # ~100 MB of geometry tables at 256x256 (and it trips payload
+            # limits on remote-compile backends). As parameters they stay
+            # runtime inputs with O(1) program size. The state-independent
+            # Pallas operator tables are likewise built ONCE here rather
+            # than per step.
+            from .core.btp import build_vol_operators
+
+            self._vol_ops = jax.jit(
+                functools.partial(build_vol_operators, static))(self.g, self.P)
 
             @functools.partial(jax.jit, donate_argnums=(0,))
-            def _step(state: State) -> State:
-                return ti_rk_bcl(static, P, g, bcs, state)
+            def _step_args(state: State, Pre, geo, vol_ops) -> State:
+                return ti_rk_bcl(static, Pre, geo, bcs, state,
+                                 vol_ops=vol_ops)
 
-            self._step = _step
+            self._step = lambda state: _step_args(state, self.P, self.g,
+                                                  self._vol_ops)
         else:
             from jax import shard_map
 

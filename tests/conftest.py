@@ -20,3 +20,11 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+# Persistent XLA executable cache: the suite's wall time is dominated by
+# CPU compiles of full jitted steps (~20 s per Model); with the cache a
+# re-run of an unchanged tree compiles nothing. Keyed by HLO hash, so code
+# changes invalidate exactly the affected entries.
+from hnumo_tpu import compile_cache  # noqa: E402
+
+compile_cache.enable()

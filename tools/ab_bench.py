@@ -15,8 +15,11 @@ import argparse
 import dataclasses
 import functools
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
@@ -48,14 +51,19 @@ def main():
 
     def restep(**kw):
         st = dataclasses.replace(m.static, **kw)
-        P, g, bcs = m.P, m.g, m.bc
-        return st, jax.jit(functools.partial(
-            lambda st, s: ti_rk_bcl(st, P, g, bcs, s), st))
+        bcs = m.bc
+        # P/g passed as arguments (not captured) so the program size stays
+        # O(1) in the grid; operator tables hoisted — see Model.__init__.
+        from hnumo_tpu.core.btp import build_vol_operators
+        vol_ops = jax.jit(functools.partial(build_vol_operators, st))(m.g, m.P)
+        jf = jax.jit(lambda s, P, g, vo: ti_rk_bcl(st, P, g, bcs, s,
+                                                   vol_ops=vo))
+        return st, lambda s: jf(s, m.P, m.g, vol_ops)
 
     variants = {
         "xla": dict(use_pallas=False),
-        "pallas": dict(uniform_geom=False),
-        "uni": dict(),
+        "pallas": dict(),  # general-geometry Pallas volume kernel (default)
+        "uni": dict(uni_volume_on=True),
         "fused": dict(fused_tail_on=True),
     }
     nq = 2 * args.nop + 1

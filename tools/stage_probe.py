@@ -110,7 +110,7 @@ def main():
             coup_flat = pb.pad_e(jnp.stack([
                 pb.eflat(coup.Q_uu_dp), pb.eflat(coup.Q_uv_dp),
                 pb.eflat(coup.Q_vv_dp), pb.eflat(coup.dH_bcl)]), Ep)
-            if static.uniform_geom:
+            if static.uni_volume:
                 ops = pb.operators_uniform(g, P, static.flat_bottom)
                 ops = ops._replace(ptab=pb.pad_e(ops.ptab, Ep),
                                    pbp_df=pb.pad_e(ops.pbp_df, Ep, axis=0))
