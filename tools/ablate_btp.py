@@ -7,7 +7,10 @@ accumulator adds. Usage: python tools/ablate_btp.py [--nel 128]
 import argparse
 import dataclasses
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

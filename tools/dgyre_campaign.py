@@ -93,6 +93,37 @@ def main():
     records = []
     t0 = time.perf_counter()
     done = 1
+
+    def artifact(final):
+        wall = time.perf_counter() - t0
+        mass0 = records[0]["mass"] if records else float("nan")
+        return dict(
+            config=dict(nel=args.nel, nop=cfg.nopx, nlayers=cfg.nlayers,
+                        dt=cfg.dt, dt_btp=cfg.dt_btp,
+                        dtype="float64" if args.f64 else "float32",
+                        device=f"{dev.platform} "
+                               f"{getattr(dev, 'device_kind', '?')}"),
+            days=args.days, steps=done, wall_s=round(wall, 1),
+            ms_per_step=round(wall / max(done - 1, 1) * 1e3, 2),
+            ok=bool(s.ok), complete=final,
+            mass_rel_drift=(max(abs(r["mass"] - mass0) for r in records)
+                            / mass0 if records else None),
+            records=records,
+        )
+
+    def write(final=False):
+        # incremental write: a partial (interrupted) campaign still leaves
+        # a usable artifact with everything sampled so far
+        text = json.dumps(artifact(final))
+        if args.out:
+            os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+            tmp = args.out + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(text)
+            os.replace(tmp, args.out)
+        elif final:
+            print(text)
+
     for i in range(n_samples):
         target = (i + 1) * steps_per_sample
         while done < target:
@@ -111,29 +142,11 @@ def main():
               f"(l1 {rec['ke'][0]:.6f} l2 {rec['ke'][1]:.6f})  "
               f"ssh [{rec['ssh_min']:+.3f},{rec['ssh_max']:+.3f}]  "
               f"|u|max {rec['umax']:.4f}", file=sys.stderr)
-    wall = time.perf_counter() - t0
-
-    mass0 = records[0]["mass"] if records else float("nan")
-    out = dict(
-        config=dict(nel=args.nel, nop=cfg.nopx, nlayers=cfg.nlayers,
-                    dt=cfg.dt, dt_btp=cfg.dt_btp,
-                    dtype="float64" if args.f64 else "float32",
-                    device=f"{dev.platform} {getattr(dev, 'device_kind', '?')}"),
-        days=args.days, steps=done, wall_s=round(wall, 1),
-        ms_per_step=round(wall / max(done - 1, 1) * 1e3, 2),
-        ok=bool(s.ok),
-        mass_rel_drift=(max(abs(r["mass"] - mass0) for r in records) / mass0
-                        if records else None),
-        records=records,
-    )
-    text = json.dumps(out)
+        write(final=False)
+    write(final=True)
     if args.out:
-        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-        with open(args.out, "w") as f:
-            f.write(text)
-        print(f"wrote {args.out} ({done} steps, {wall:.0f}s)", file=sys.stderr)
-    else:
-        print(text)
+        print(f"wrote {args.out} ({done} steps, "
+              f"{time.perf_counter() - t0:.0f}s)", file=sys.stderr)
 
 
 if __name__ == "__main__":

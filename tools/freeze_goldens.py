@@ -46,23 +46,25 @@ def fingerprint(state, P):
 
 
 def bump_config(**kw):
+    kw.setdefault("dtype", "float64")
     return Config(nelx=10, nely=10, nopx=4, nopy=4,
                   xdims=(0.0, 2e3), ydims=(0.0, 2e3), nlayers=2,
                   x_boundary=(4, 4), y_boundary=(4, 4),
                   dt=100.0, dt_btp=1.8, time_final=10800.0,
-                  test_case="bump", dtype="float64", **kw)
+                  test_case="bump", **kw)
 
 
 def dgyre_config(**kw):
     # reference Examples/double_gyre/numo3d.in: 25x25, p=4, 2 layers,
     # wind + linear bottom friction + nodal-family viscosity
+    kw.setdefault("dtype", "float64")
     return Config(nelx=25, nely=25, nopx=4, nopy=4,
                   xdims=(0.0, 2e6), ydims=(0.0, 2e6), nlayers=2,
                   x_boundary=(4, 4), y_boundary=(4, 4),
                   dt=500.0, dt_btp=25.0, time_final=1e9,
                   test_case="double_gyre", f0=0.93e-4, beta=2.0e-11,
                   botfr=1, cd_mlswe=1.0e-7, method_visc=3, visc_mlswe=50.0,
-                  dtype="float64", **kw)
+                  **kw)
 
 
 def freeze(name, cfg, checkpoints):

@@ -75,9 +75,12 @@ def main():
     coup = jax.jit(lambda qp, qf, dv: btp_bcl_coeffs(
         static, P, g, bc, qp, qf, dv, zqq))(qprime_df, qprime_faces, dpprime_visc)
 
-    # ---- full solve ----
-    solve = jax.jit(lambda qb, qp: btp.barotropic_solve(static, P, g, bc, coup, qb, qp))
-    t_solve = timeit(solve, qb_df, qprime_df)
+    # ---- full solve (operator tables prebuilt, as Model does) ----
+    import functools
+    vol_ops = jax.jit(functools.partial(btp.build_vol_operators, static))(g, P)
+    solve = jax.jit(lambda qb, qp, vo: btp.barotropic_solve(
+        static, P, g, bc, coup, qb, qp, vol_ops=vo))
+    t_solve = timeit(solve, qb_df, qprime_df, vol_ops)
     print(f"barotropic_solve ({static.n_btp}x{static.kstages} stages): "
           f"{t_solve*1e3:8.2f} ms  -> {t_solve/ (static.n_btp*static.kstages) *1e6:7.1f} us/stage")
 
@@ -129,7 +132,20 @@ def main():
                     accn = accn + rhs.sum() * 0
                     return (accv, accn), None
             else:
-                raise SystemExit("non-uniform pallas probe not wired")
+                ops = vol_ops
+                qplq = pb.pad_e(pb.eflat(qpl_q), Ep)
+
+                def body(carry, _):
+                    accv, accn = carry
+                    qbf = pb.pad_e(pb.eflat(qb), Ep)
+                    rhs, accv, accn = pb.btp_volume_pallas(
+                        ops, qbf, qplq, coup_flat, accv, accn,
+                        grav=static.gravity, botfr=static.botfr,
+                        cd=static.cd_mlswe, alpha_bot=static.alpha_bot,
+                        interpret=static.pallas_interpret)
+                    rhs = rhs[:, :E].reshape(3, ney, nex, ngl, ngl)
+                    accn = accn + rhs.sum() * 0
+                    return (accv, accn), None
             (accv, accn), _ = jax.lax.scan(body, (accv, accn), None, length=N)
             return accv[0, 0, 0] + accn[0, 0, 0]
         else:
