@@ -84,6 +84,14 @@ class Config:
     # docs/performance.md). Kept for affine-mesh experiments; the fused
     # tail requires and implies these operators independently.
     uni_volume: str = "off"
+    # Batch the two face directions of the barotropic stage on one flat face
+    # axis ("on" | "off"): halves the per-stage XLA kernel count in the face
+    # pipeline (the per-direction calls cannot be batched by XLA because the
+    # x/y face counts differ). Same formulas on the same values; results
+    # agree with the per-direction path up to XLA fusion/FMA reassociation
+    # (~1e-14 absolute at f64 on the bump case; bitwise on others).
+    # A/B-gated before default-on — see docs/performance.md.
+    batched_faces: str = "off"
     # Reproduce the reference's wind/bottom-stress vertical distribution
     # VERBATIM, including its indexing slip (src/mod_create_rhs_mlswe.F90:
     # 380-382: the pressure accumulator adds the LAST layer's (dp',u',v')

@@ -18,9 +18,9 @@ import jax.numpy as jnp
 
 from ..ops.dg import DeviceGeom, grad_nodal, interp_n2q, scatter_volume, scatter_volume_nodal
 from .faces import (BCs, apply_wall_projection, extract_faces_from_slabs,
-                    extract_faces_multi, face_n2q, face_quad_scatter,
-                    face_views_x, face_views_y, scatter_face_x,
-                    scatter_face_y, wall_projection_masks)
+                    extract_faces_multi, extract_faces_stacked, face_n2q,
+                    face_quad_scatter, face_views_x, face_views_y,
+                    scatter_face_x, scatter_face_y, wall_projection_masks)
 from .types import BtpAverages, BtpFaceAvg, CouplingFields, Pair, Precomputed
 
 
@@ -102,15 +102,33 @@ def btp_volume_rhs(static, P: Precomputed, g: DeviceGeom, coup: CouplingFields,
     return rhs, avg_inc
 
 
-def _face_flux_dir(static, fg, Qe_uu, Qe_uv, Qe_vv, dHe, traces, psiq):
-    """Barotropic face flux kernel for one face direction.
+def _flatf(a):
+    """Merge the two structured face axes: (..., A, B, m) -> (..., A*B, m)."""
+    return a.reshape(a.shape[:-3] + (a.shape[-3] * a.shape[-2], a.shape[-1]))
+
+
+def _catf(ax_arr, ay_arr):
+    """Concatenate flattened x-face and y-face tables on one flat face axis.
+
+    The direction-agnostic face-flux math (direction enters only through the
+    normal tables) then runs BOTH directions in one batched pipeline — the
+    x and y face counts differ ((ly)(lx+1) vs (ly+1)(lx)) so XLA cannot
+    batch the per-direction calls itself, and at small grids the duplicated
+    kernel launches dominate the stage (docs/performance.md attribution)."""
+    return jnp.concatenate([_flatf(ax_arr), _flatf(ay_arr)], axis=-2)
+
+
+def _face_flux_core(fg, Qe_uu, Qe_uv, Qe_vv, dHe, qblq, qbrq, pbl, pbr,
+                    psiq):
+    """Barotropic face flux kernel, direction-agnostic.
 
     Reference creat_btp_fluxes_qdf (src/mod_rhs_btp.F90:211-364).
-    traces: list of 4 (L, R) nodal trace pairs. Returns (S_left scatter values
-    (3, F, ngl), BtpFaceAvg increments without the graduvb slots).
+    qblq/qbrq: (4, F..., nq) stacked quad traces; fg tables broadcastable to
+    (F..., nq); pbl/pbr: one-sided reference pb' at quad points. Works on
+    per-direction structured tables and on the flat concatenated layout
+    alike. Returns (S_left scatter values (3, F..., ngl), BtpFaceAvg
+    increments (16, F..., nq) without the graduvb slots).
     """
-    qblq = [face_n2q(psiq, t[0]) for t in traces]   # (F, nq) each
-    qbrq = [face_n2q(psiq, t[1]) for t in traces]
     nx, ny = fg.nx, fg.ny
 
     pU_L = nx * qblq[2] + ny * qblq[3]
@@ -136,10 +154,6 @@ def _face_flux_dir(static, fg, Qe_uu, Qe_uv, Qe_vv, dHe, traces, psiq):
     # δ-form: H_face - Hedge_ref; static part in P.btp_rhs_ref (create_rhs_btp)
     dH_face = dHe + mue2 * (fg.Hedge_ref + dHe)
 
-    # one-sided reference pb' interpolated from nodal face values (:257-258)
-    pbl = face_n2q(psiq, fg.pbprime_df_face_L)
-    pbr = face_n2q(psiq, fg.pbprime_df_face_R)
-
     lamb = fg.coeff_mass_pbpert_LR
     dispu = 0.5 * lamb * (qbrq[2] - qblq[2])
     dispv = 0.5 * lamb * (qbrq[3] - qblq[3])
@@ -148,10 +162,9 @@ def _face_flux_dir(static, fg, Qe_uu, Qe_uv, Qe_vv, dHe, traces, psiq):
     flux = nx * flux_edge_x + ny * flux_edge_y
     H_kx, H_ky = nx * dH_face, ny * dH_face
 
-    S1 = face_quad_scatter(psiq, fg.jac, flux)
-    S2 = face_quad_scatter(psiq, fg.jac, H_kx + flux_x)
-    S3 = face_quad_scatter(psiq, fg.jac, H_ky + flux_y)
-    S = jnp.stack([S1, S2, S3])
+    # one batched quad->nodal face projection for all 3 scatter channels
+    S = face_quad_scatter(psiq, fg.jac,
+                          jnp.stack([flux, H_kx + flux_x, H_ky + flux_y]))
 
     muL = qblq[1] / pbl
     muR = qbrq[1] / pbr
@@ -160,6 +173,19 @@ def _face_flux_dir(static, fg, Qe_uu, Qe_uv, Qe_vv, dHe, traces, psiq):
                      muL * (2.0 + muL), muR * (2.0 + muR),
                      flux_edge_x, flux_edge_y, mue2, ul, ur, vl, vr])
     return S, inc
+
+
+def _face_flux_dir(static, fg, Qe_uu, Qe_uv, Qe_vv, dHe, traces, psiq):
+    """Per-direction wrapper of _face_flux_core (legacy structured path).
+
+    traces: list of 4 (L, R) nodal trace pairs."""
+    qblq = face_n2q(psiq, jnp.stack([t[0] for t in traces]))
+    qbrq = face_n2q(psiq, jnp.stack([t[1] for t in traces]))
+    # one-sided reference pb' interpolated from nodal face values (:257-258)
+    pbl = face_n2q(psiq, fg.pbprime_df_face_L)
+    pbr = face_n2q(psiq, fg.pbprime_df_face_R)
+    return _face_flux_core(fg, Qe_uu, Qe_uv, Qe_vv, dHe, qblq, qbrq,
+                           pbl, pbr, psiq)
 
 
 def btp_nodal_laplacian(static, P: Precomputed, g: DeviceGeom, bc: BCs,
@@ -248,6 +274,110 @@ def _btp_faces_visc(static, P: Precomputed, g: DeviceGeom, bc: BCs,
     return rhs, inc_x, inc_y, graduv, gface
 
 
+def _build_flat_faces(static, P: Precomputed, g: DeviceGeom,
+                      coup: CouplingFields):
+    """Per-solve flat face bundle for the batched face path.
+
+    Concatenates every per-direction face table ([x-faces; y-faces] on one
+    flat axis) once per barotropic solve — amortized over N_btp*kstages
+    stages — and hoists the stage-invariant reference pb' interpolation.
+    Returns (fgf, (Qe_uu, Qe_uv, Qe_vv, dHe), pbl, pbr, bgf)."""
+    fx, fy = P.faces.x, P.faces.y
+    fgf = type(fx)(*[_catf(getattr(fx, f), getattr(fy, f))
+                     for f in type(fx)._fields])
+    Qe = tuple(_catf(p.x, p.y) for p in (coup.Q_uu_dp_edge,
+                                         coup.Q_uv_dp_edge,
+                                         coup.Q_vv_dp_edge,
+                                         coup.dH_bcl_edge))
+    pbl = face_n2q(g.psiq, fgf.pbprime_df_face_L)
+    pbr = face_n2q(g.psiq, fgf.pbprime_df_face_R)
+    bgf = (_catf(coup.btp_graduv_dpp_face.x, coup.btp_graduv_dpp_face.y)
+           if static.use_visc else None)
+    return fgf, Qe, pbl, pbr, bgf
+
+
+def _nodal_laplacian_flat(static, P: Precomputed, g: DeviceGeom, bc: BCs,
+                          coup: CouplingFields, flat, qb_df):
+    """btp_nodal_laplacian with the face pipeline batched over the flat
+    face axis (values identical; see _catf)."""
+    fgf, _, _, _, bgf = flat
+    ney, nex = g.wjac.shape[0], g.wjac.shape[1]
+    ngl = g.wjac_df.shape[-1]
+    Fx = ney * (nex + 1)
+
+    Uk_u = qb_df[2] / qb_df[0]
+    Uk_v = qb_df[3] / qb_df[0]
+    gux, guy = grad_nodal(g, Uk_u)
+    gvx, gvy = grad_nodal(g, Uk_v)
+    graduv = jnp.stack([gux, guy, gvx, gvy])
+
+    xl, xr, yl, yr = extract_faces_stacked(graduv, bc,
+                                           vec_pairs=((0, 1), (2, 3)))
+    gl = _catf(xl, yl)                      # (4, F, ngl)
+    gr = _catf(xr, yr)
+
+    qq = coup.pbprime_visc[None] * graduv + coup.btp_dpp_graduv
+    lap_u = -scatter_volume_nodal(g, qq[0], qq[1])
+    lap_v = -scatter_volume_nodal(g, qq[2], qq[3])
+
+    fl = bgf[4, 0] * gl + bgf[:4, 0]
+    fr = bgf[4, 1] * gr + bgf[:4, 1]
+    qmean = 0.5 * (fl + fr)
+    flux_qu = ((qmean[0] - fl[0] * fgf.nx_df)
+               + (qmean[1] - fl[1] * fgf.ny_df))
+    flux_qv = ((qmean[2] - fl[2] * fgf.nx_df)
+               + (qmean[3] - fl[3] * fgf.ny_df))
+    S = fgf.jac_df * jnp.stack([flux_qu, flux_qv])   # (2, F, ngl)
+
+    Sx = S[:, :Fx].reshape(2, ney, nex + 1, ngl)
+    Sy = S[:, Fx:].reshape(2, ney + 1, nex, ngl)
+    lap_u = scatter_face_x(lap_u, -Sx[0], bc)
+    lap_u = scatter_face_y(lap_u, -Sy[0], bc)
+    lap_v = scatter_face_x(lap_v, -Sx[1], bc)
+    lap_v = scatter_face_y(lap_v, -Sy[1], bc)
+
+    rhs_lap = static.visc_mlswe * g.massinv * jnp.stack([lap_u, lap_v])
+    gface_flat = jnp.stack([gl, gr], axis=1)         # (4, 2, F, ngl)
+    return rhs_lap, graduv, gface_flat
+
+
+def _btp_faces_visc_flat(static, P: Precomputed, g: DeviceGeom, bc: BCs,
+                         coup: CouplingFields, flat, qb_df, qprime_df, rhs):
+    """_btp_faces_visc with both face directions batched on one flat axis.
+
+    Returns (rhs, inc (16, F, nq), graduv (4, nodal),
+    gface_flat (4, 2, F, ngl))."""
+    fgf, (Qe_uu, Qe_uv, Qe_vv, dHe), pbl, pbr, _ = flat
+    ney, nex = g.wjac.shape[0], g.wjac.shape[1]
+    ngl = g.wjac_df.shape[-1]
+    Fx = ney * (nex + 1)
+    F = Fx + (ney + 1) * nex
+
+    xl, xr, yl, yr = extract_faces_stacked(qb_df, bc, vec_pairs=((2, 3),))
+    qblq = face_n2q(g.psiq, _catf(xl, yl))    # (4, F, nq) one matmul
+    qbrq = face_n2q(g.psiq, _catf(xr, yr))
+
+    S, inc = _face_flux_core(fgf, Qe_uu, Qe_uv, Qe_vv, dHe, qblq, qbrq,
+                             pbl, pbr, g.psiq)
+    Sx = S[:, :Fx].reshape(3, ney, nex + 1, ngl)
+    Sy = S[:, Fx:].reshape(3, ney + 1, nex, ngl)
+    rhs = scatter_face_x(rhs, Sx, bc)
+    rhs = scatter_face_y(rhs, Sy, bc)
+    rhs = rhs + P.btp_rhs_ref          # static reference terms (δ-form)
+    rhs = g.massinv * rhs
+
+    if static.use_visc:
+        # batched path requires the nodal LDG family (init gates the flag)
+        rhs_visc, graduv, gface_flat = _nodal_laplacian_flat(
+            static, P, g, bc, coup, flat, qb_df)
+        rhs = rhs.at[1:].add(rhs_visc)
+    else:
+        graduv = jnp.zeros((4,) + qb_df.shape[1:], qb_df.dtype)
+        gface_flat = jnp.zeros((4, 2, F, ngl), qb_df.dtype)
+
+    return rhs, inc, graduv, gface_flat
+
+
 def create_rhs_btp(static, P: Precomputed, g: DeviceGeom, bc: BCs,
                    coup: CouplingFields, qb_df, qprime_df):
     """One barotropic RHS evaluation (reference create_rhs_btp,
@@ -332,12 +462,22 @@ def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
         Ep = E
         accv0 = jnp.zeros((12, ney, nex, nq, nq), dtype)
         accn0 = jnp.zeros((3, ney, nex, ngl, ngl), dtype)
-    acc0 = (accv0, accn0,
-            jnp.zeros((16, ney, nex + 1, nq), dtype),       # x-faces
-            jnp.zeros((16, ney + 1, nex, nq), dtype),       # y-faces
-            jnp.zeros((2, 4, ney, nex + 1, ngl), dtype),    # graduv x-faces L/R
-            jnp.zeros((2, 4, ney + 1, nex, ngl), dtype),    # graduv y-faces L/R
-            jnp.zeros((4, ney, nex, ngl, ngl), dtype))      # graduvb nodal
+    Fx = ney * (nex + 1)
+    F = Fx + (ney + 1) * nex
+    if static.batched_faces:
+        # batched face path: ONE flat face accumulator per family (both
+        # directions), split back to the structured view after the scan
+        acc0 = (accv0, accn0,
+                jnp.zeros((16, F, nq), dtype),              # all faces
+                jnp.zeros((2, 4, F, ngl), dtype),           # graduv L/R
+                jnp.zeros((4, ney, nex, ngl, ngl), dtype))  # graduvb nodal
+    else:
+        acc0 = (accv0, accn0,
+                jnp.zeros((16, ney, nex + 1, nq), dtype),     # x-faces
+                jnp.zeros((16, ney + 1, nex, nq), dtype),     # y-faces
+                jnp.zeros((2, 4, ney, nex + 1, ngl), dtype),  # graduv x L/R
+                jnp.zeros((2, 4, ney + 1, nex, ngl), dtype),  # graduv y L/R
+                jnp.zeros((4, ney, nex, ngl, ngl), dtype))    # graduvb nodal
 
     # under shard_map the scan carry must be device-varying from the start
     axes = tuple(a for a in (bc.ax, bc.ay) if a is not None)
@@ -402,19 +542,30 @@ def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
         return rhs, accv + vol_inc, accn + incn
 
     lsrk = static.ti_method_btp == "lsrk"
+    flat = (_build_flat_faces(static, P, g, coup)
+            if static.batched_faces else None)
 
     def one_btp_step(carry, _):
-        qb, qb2, accv, accn, afx, afy, agx, agy, agrad = carry
+        if static.batched_faces:
+            qb, qb2, accv, accn, aff, agf, agrad = carry
+        else:
+            qb, qb2, accv, accn, afx, afy, agx, agy, agrad = carry
         qb0 = qb
         qb1 = qb
         for ik in range(kstages):
             rhs, accv, accn = stage_volume(qb1, accv, accn)
-            rhs, inc_x, inc_y, graduv, gface = _btp_faces_visc(
-                static, P, g, bc, coup, qb1, qprime_df, rhs)
-            afx = afx + inc_x
-            afy = afy + inc_y
-            agx = agx + jnp.swapaxes(gface.x, 0, 1)
-            agy = agy + jnp.swapaxes(gface.y, 0, 1)
+            if static.batched_faces:
+                rhs, inc, graduv, gface_flat = _btp_faces_visc_flat(
+                    static, P, g, bc, coup, flat, qb1, qprime_df, rhs)
+                aff = aff + inc
+                agf = agf + jnp.swapaxes(gface_flat, 0, 1)
+            else:
+                rhs, inc_x, inc_y, graduv, gface = _btp_faces_visc(
+                    static, P, g, bc, coup, qb1, qprime_df, rhs)
+                afx = afx + inc_x
+                afy = afy + inc_y
+                agx = agx + jnp.swapaxes(gface.x, 0, 1)
+                agy = agy + jnp.swapaxes(gface.y, 0, 1)
             agrad = agrad + graduv
 
             if lsrk:
@@ -438,6 +589,8 @@ def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
                 qb2 = qb1
         if lsrk:
             qb2 = jnp.zeros_like(qb2)  # dq register resets every btp step
+        if static.batched_faces:
+            return (qb1, qb2, accv, accn, aff, agf, agrad), None
         return (qb1, qb2, accv, accn, afx, afy, agx, agy, agrad), None
 
     qb2_0 = jnp.zeros_like(qb_df)
@@ -447,7 +600,15 @@ def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
         one_btp_step, (qb_df, qb2_0) + acc0, None, length=static.n_btp)
 
     n_inv = jnp.asarray(1.0 / (kstages * static.n_btp), dtype)
-    vol, nod, afx, afy, agx, agy, agrad = (acc * n_inv for acc in accs)
+    if static.batched_faces:
+        vol, nod, aff, agf, agrad = (acc * n_inv for acc in accs)
+        # split the flat face accumulators back to the structured view
+        afx = aff[:, :Fx].reshape(16, ney, nex + 1, nq)
+        afy = aff[:, Fx:].reshape(16, ney + 1, nex, nq)
+        agx = agf[:, :, :Fx].reshape(2, 4, ney, nex + 1, ngl)
+        agy = agf[:, :, Fx:].reshape(2, 4, ney + 1, nex, ngl)
+    else:
+        vol, nod, afx, afy, agx, agy, agrad = (acc * n_inv for acc in accs)
     if static.use_pallas:
         # back from the flat padded carry layout to the structured one
         vol = vol[:, :E].reshape(12, ney, nex, nq, nq)

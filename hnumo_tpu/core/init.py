@@ -52,6 +52,8 @@ class StaticConfig:
     uni_volume_on: bool = False   # opt-in folded uniform-geometry volume
     #                               kernel (measured slower than the general
     #                               kernel at 32-256 on v5e; performance.md)
+    batched_faces_on: bool = False  # batch both face directions on one flat
+    #                                 axis in the barotropic stage (config)
     flat_bottom: bool = False     # grad(z_bot) == 0 everywhere (drops the
     #                               bathymetry-gradient source channels)
     debug_checks: bool = False    # enable jax.debug_nans-style NaN checking
@@ -62,6 +64,16 @@ class StaticConfig:
     @property
     def use_visc(self) -> bool:
         return self.visc_mlswe != 0.0
+
+    @property
+    def batched_faces(self) -> bool:
+        """Flat-axis batched barotropic face path (btp._btp_faces_visc_flat).
+
+        Requires the nodal LDG family when viscosity is on (the quad family
+        keeps its per-direction pipeline) and is superseded by the fused
+        tail's own face kernel."""
+        return (self.batched_faces_on and not self.fused_tail
+                and (not self.use_visc or self.method_visc != 1))
 
     @property
     def uni_volume(self) -> bool:
@@ -573,6 +585,7 @@ def build_precomputed(cfg: Config, geom: Geometry, dtype, zbot_ext=None) -> tupl
         use_pallas=use_pallas, pallas_interpret=interp,
         fused_tail_on=(cfg.fused_tail == "on"),
         uni_volume_on=(cfg.uni_volume == "on"),
+        batched_faces_on=(cfg.batched_faces == "on"),
         compat_reference_stress=cfg.compat_reference_stress,
         uniform_geom=uniform_geom, flat_bottom=flat_bottom,
         debug_checks=cfg.debug_checks,

@@ -462,6 +462,26 @@ def test_p8_pallas_interpret_matches_xla():
                                    err_msg=name)
 
 
+def test_batched_faces_matches_default():
+    """Flat-axis batched face path == per-direction path (same formulas;
+    differences bounded by XLA fusion/FMA reassociation, ~1e-14 abs f64)."""
+    for extra in ({}, {"method_visc": 2, "visc_mlswe": 5.0},
+                  {"botfr": 2, "cd_mlswe": 1e-3}):
+        cfg0 = _bump(**extra)
+        cfg1 = _bump(batched_faces="on", **extra)
+        m0, m1 = Model(cfg0), Model(cfg1)
+        assert m1.static.batched_faces
+        s0, s1 = m0.state0, m1.state0
+        for _ in range(3):
+            s0, s1 = m0.step(s0), m1.step(s1)
+        for name in ("qb_df", "q_df", "qprime_df"):
+            a = np.asarray(getattr(s0, name))
+            b = np.asarray(getattr(s1, name))
+            np.testing.assert_allclose(
+                b, a, atol=1e-11 * max(np.abs(a).max(), 1),
+                err_msg=f"{name} {extra}")
+
+
 def test_debug_checks_flags_nonfinite():
     """debug_checks (SURVEY §5 debug mode): a blow-up run raises
     FloatingPointError/RuntimeError instead of silently producing NaNs; a

@@ -100,6 +100,25 @@ def test_sharded_lake_at_rest():
     assert np.abs(q[1:]).max() < 1e-4  # u*dp units: dp~2e5, so u ~ 5e-10 m/s
 
 
+def test_sharded_batched_faces_matches_serial():
+    # flat-axis batched face path (btp._btp_faces_visc_flat): the per-shard
+    # [x;y] face concatenation and post-scan split must commute with the
+    # halo exchange on every wall/periodic combination exercised here
+    cfg = _cfg(x_boundary=(3, 3), y_boundary=(4, 4), method_visc=2,
+               visc_mlswe=10.0, batched_faces="on")
+    m1 = Model(cfg)
+    s1 = m1.step(m1.state0)
+    mesh = make_mesh(jax.devices(), shape=(2, 4))
+    mN = Model(cfg, mesh=mesh)
+    assert mN.static.batched_faces
+    mass0 = _mass(mN, mN.state0)
+    sN = mN.step(mN.state0)
+    _assert_scaled_close(s1.q_df, sN.q_df, 1e-6, "q_df")
+    _assert_scaled_close(s1.qb_df, sN.qb_df, 1e-6, "qb_df")
+    massN = _mass(mN, sN)
+    assert np.all(np.abs(massN - mass0) / mass0 < 1e-12)
+
+
 def test_state_sharding_layout():
     cfg = _cfg()
     mesh = make_mesh(jax.devices(), shape=(2, 4))

@@ -65,6 +65,8 @@ def main():
         "pallas": dict(),  # general-geometry Pallas volume kernel (default)
         "uni": dict(uni_volume_on=True),
         "fused": dict(fused_tail_on=True),
+        "bf": dict(batched_faces_on=True),     # flat-axis batched faces
+        "bf_xla": dict(batched_faces_on=True, use_pallas=False),
     }
     nq = 2 * args.nop + 1
     gp = nel * nel * nq * nq * 2
