@@ -518,7 +518,12 @@ def btp_volume_pallas(ops: BtpVolOperators, qb_n, qpl_n, coup_q,
     """
     E, npts = qb_n.shape[1], qb_n.shape[2]
     nqq = coup_q.shape[2]
-    T = _pick_tile(E)
+    # tile cap scales with the per-element block footprint (14*npts +
+    # 44*nqq f32 in/out values, double-buffered): p=4 keeps the measured
+    # 128-element tile; p=8 (npts=81, nqq=289) drops to 64 — a fixed 128
+    # tile overflows the 16 MB scoped vmem there (18.25M allocation).
+    elem_bytes = 4 * (14 * npts + 44 * nqq)
+    T = _pick_tile(E, cap=min(128, max(32, int(6e6 // elem_bytes))))
     nblk = E // T
     dtype = qb_n.dtype
 
@@ -544,6 +549,10 @@ def btp_volume_pallas(ops: BtpVolOperators, qb_n, qpl_n, coup_q,
 
     kernel = functools.partial(_kernel, grav=grav, botfr=botfr, cd=cd,
                                alpha_bot=alpha_bot)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
     rhs, accv2, accn2 = pl.pallas_call(
         kernel,
         grid=(nblk,),
@@ -560,6 +569,7 @@ def btp_volume_pallas(ops: BtpVolOperators, qb_n, qpl_n, coup_q,
                    sds((3, E, npts), dtype, qb_n, accn)],
         input_output_aliases={10: 1, 11: 2},
         interpret=interpret,
+        **kwargs,
     )(*align_vma(qb_n, qpl_n, ops.met, ops.ptab, coup_q,
                  rep(ops.K), rep(ops.KT), rep(ops.DkT), rep(ops.DeT),
                  ops.pbp_df, accv, accn))

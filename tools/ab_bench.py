@@ -67,6 +67,7 @@ def main():
         "fused": dict(fused_tail_on=True),
         "bf": dict(batched_faces_on=True),     # flat-axis batched faces
         "bf_xla": dict(batched_faces_on=True, use_pallas=False),
+        "pd": dict(batched_faces_on=False),    # per-direction legacy faces
     }
     nq = 2 * args.nop + 1
     gp = nel * nel * nq * nq * 2
