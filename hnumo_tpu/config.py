@@ -90,11 +90,13 @@ class Config:
     # x/y face counts differ). Same formulas on the same values; results
     # agree with the per-direction path up to XLA fusion/FMA reassociation
     # (~1e-14 absolute at f64 on the bump case; bitwise on others).
-    # Default ON after the A/B gate: 21.3 vs 25.3 ms/step at 32x32 and
-    # 61.3 vs 78.3 at 64x64 on v5e (docs/performance.md). The quad-family
-    # viscosity (method_visc=1) keeps the per-direction path (StaticConfig
-    # gates it off there).
-    batched_faces: str = "on"
+    # "auto" (default): on up to 8192 elements, off above — A/B on v5e
+    # (docs/performance.md): 21.3 vs 25.3 ms/step at 32x32 and 61.3 vs
+    # 78.3 at 64x64 (launch-latency-bound regime), but 1383 vs 1237 at
+    # 256x256 where the per-solve concat copies outgrow the launch
+    # savings. The quad-family viscosity (method_visc=1) keeps the
+    # per-direction path (StaticConfig gates it off there).
+    batched_faces: str = "auto"
     # Reproduce the reference's wind/bottom-stress vertical distribution
     # VERBATIM, including its indexing slip (src/mod_create_rhs_mlswe.F90:
     # 380-382: the pressure accumulator adds the LAST layer's (dp',u',v')

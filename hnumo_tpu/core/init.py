@@ -585,7 +585,9 @@ def build_precomputed(cfg: Config, geom: Geometry, dtype, zbot_ext=None) -> tupl
         use_pallas=use_pallas, pallas_interpret=interp,
         fused_tail_on=(cfg.fused_tail == "on"),
         uni_volume_on=(cfg.uni_volume == "on"),
-        batched_faces_on=(cfg.batched_faces == "on"),
+        batched_faces_on=(cfg.batched_faces == "on"
+                          or (cfg.batched_faces == "auto"
+                              and cfg.nelx * cfg.nely <= 8192)),
         compat_reference_stress=cfg.compat_reference_stress,
         uniform_geom=uniform_geom, flat_bottom=flat_bottom,
         debug_checks=cfg.debug_checks,

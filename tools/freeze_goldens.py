@@ -13,13 +13,21 @@ Usage: python tools/freeze_goldens.py
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-import jax
-
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
-
 import numpy as np
+
+
+def force_cpu_f64():
+    """Pin the CPU backend + x64 (goldens are f64 CPU by definition).
+
+    Called from __main__, NOT at import: other tools (dgyre_campaign)
+    import the config builders from this module and must keep their own
+    backend (a module-level pin silently dragged the TPU campaign onto
+    the CPU)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from hnumo_tpu.config import Config  # noqa: E402
