@@ -13,6 +13,7 @@ Usage: python tools/freeze_goldens.py
 import os
 import sys
 
+import jax
 import numpy as np
 
 
@@ -22,10 +23,9 @@ def force_cpu_f64():
     Called from __main__, NOT at import: other tools (dgyre_campaign)
     import the config builders from this module and must keep their own
     backend (a module-level pin silently dragged the TPU campaign onto
-    the CPU)."""
+    the CPU). Importing jax at module scope is safe — only the config
+    updates pin a backend."""
     os.environ["JAX_PLATFORMS"] = "cpu"
-    import jax
-
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
@@ -94,6 +94,7 @@ def freeze(name, cfg, checkpoints):
 
 
 if __name__ == "__main__":
+    force_cpu_f64()
     freeze("bump_traj", bump_config(), [3, 10])
     # 100 dt = ~14 model hours: long enough to pin slow drift in the
     # wind/friction/viscosity wiring (VERDICT r2 item 3), short enough for CI
