@@ -63,9 +63,25 @@ def main():
         botfr=1, cd_mlswe=1.0e-7, method_visc=2, visc_mlswe=100.0,
         dtype="float64" if args.f64 else "float32",
     )
+    # bench hygiene: a loaded host contaminates dispatch-sensitive TPU
+    # numbers (BENCH_r04 lost 41% to a concurrent CPU campaign) — warn
+    # loudly if anything else is burning CPU in the measurement window
+    try:
+        load1 = os.getloadavg()[0]
+        ncpu = os.cpu_count() or 1
+        if load1 > 0.5 * ncpu:
+            print(f"# WARNING: host load average {load1:.2f} on {ncpu} CPUs "
+                  "— concurrent work will contaminate this benchmark",
+                  file=sys.stderr)
+    except OSError:
+        pass
+
     m = Model(cfg)
     dev = jax.devices()[0]
+    t_c0 = time.perf_counter()
     s = m.step(m.state0)          # compile + warm
+    jax.block_until_ready(s)
+    compile_s = time.perf_counter() - t_c0
     s = m.step(s)
     jax.block_until_ready(s)
 
@@ -83,7 +99,7 @@ def main():
           f"grid={nel}x{nel} p={args.nop} L={args.nlayers} "
           f"N_btp={m.static.n_btp} ({n_rhs} btp RHS/dt) "
           f"dtype={cfg.dtype}: {dt_wall/args.steps*1e3:.1f} ms/step, "
-          f"ok={bool(s.ok)}", file=sys.stderr)
+          f"compile+step1={compile_s:.1f}s, ok={bool(s.ok)}", file=sys.stderr)
     print(json.dumps({
         "metric": "dg_gridpoint_steps_per_s",
         "value": round(gps, 1),

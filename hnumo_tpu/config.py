@@ -97,6 +97,16 @@ class Config:
     # savings. The quad-family viscosity (method_visc=1) keeps the
     # per-direction path (StaticConfig gates it off there).
     batched_faces: str = "auto"
+    # Run the kstages RK stages of the barotropic sub-cycle as a lax.scan
+    # over the coefficient tables instead of Python-unrolling them into the
+    # sub-cycling scan body ("auto" | "on" | "off"). Cuts the step HLO and
+    # cold compile time by ~kstages x (44 vs 78 s at 64x64 on v5e) at the
+    # price of per-iteration loop overhead in the launch-latency-bound
+    # regime (34.3 vs 22.5 ms/step at 32x32 f32). "auto": ON for the XLA
+    # path (f64/CPU validation runs, where compile dominates), OFF for the
+    # Pallas TPU path (where runtime is king). Same update formulas; f64
+    # trajectories differ only by XLA fusion/reassociation roundoff.
+    scan_stages: str = "auto"
     # Reproduce the reference's wind/bottom-stress vertical distribution
     # VERBATIM, including its indexing slip (src/mod_create_rhs_mlswe.F90:
     # 380-382: the pressure accumulator adds the LAST layer's (dp',u',v')

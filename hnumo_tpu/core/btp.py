@@ -13,6 +13,8 @@ src/mod_rk_mlswe.F90:45-149).
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -274,17 +276,42 @@ def _btp_faces_visc(static, P: Precomputed, g: DeviceGeom, bc: BCs,
     return rhs, inc_x, inc_y, graduv, gface
 
 
+class _FlatFaceGeom(NamedTuple):
+    """The FaceDirGeom subset the batched (flat-axis) face path reads —
+    only these tables are concatenated per solve (the multi-layer
+    reference tables dpp_ref_face*, P_ref_edge, Hk_ref_edge, z_ref_face
+    are consumed by the baroclinic path on the structured view only)."""
+
+    nx: jnp.ndarray
+    ny: jnp.ndarray
+    jac: jnp.ndarray
+    nx_df: jnp.ndarray
+    ny_df: jnp.ndarray
+    jac_df: jnp.ndarray
+    coeff_pbpert_L: jnp.ndarray
+    coeff_pbpert_R: jnp.ndarray
+    coeff_pbub_LR: jnp.ndarray
+    coeff_mass_pbub_L: jnp.ndarray
+    coeff_mass_pbub_R: jnp.ndarray
+    coeff_mass_pbpert_LR: jnp.ndarray
+    one_over_pbprime_edge: jnp.ndarray
+    Hedge_ref: jnp.ndarray
+    pbprime_df_face_L: jnp.ndarray
+    pbprime_df_face_R: jnp.ndarray
+
+
 def _build_flat_faces(static, P: Precomputed, g: DeviceGeom,
                       coup: CouplingFields):
     """Per-solve flat face bundle for the batched face path.
 
-    Concatenates every per-direction face table ([x-faces; y-faces] on one
-    flat axis) once per barotropic solve — amortized over N_btp*kstages
-    stages — and hoists the stage-invariant reference pb' interpolation.
-    Returns (fgf, (Qe_uu, Qe_uv, Qe_vv, dHe), pbl, pbr, bgf)."""
+    Concatenates the consumed per-direction face tables ([x-faces; y-faces]
+    on one flat axis) once per barotropic solve — amortized over
+    N_btp*kstages stages — and hoists the stage-invariant reference pb'
+    interpolation. Returns (fgf, (Qe_uu, Qe_uv, Qe_vv, dHe), pbl, pbr,
+    bgf)."""
     fx, fy = P.faces.x, P.faces.y
-    fgf = type(fx)(*[_catf(getattr(fx, f), getattr(fy, f))
-                     for f in type(fx)._fields])
+    fgf = _FlatFaceGeom(*[_catf(getattr(fx, f), getattr(fy, f))
+                          for f in _FlatFaceGeom._fields])
     Qe = tuple(_catf(p.x, p.y) for p in (coup.Q_uu_dp_edge,
                                          coup.Q_uv_dp_edge,
                                          coup.Q_vv_dp_edge,
@@ -546,13 +573,16 @@ def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
             if static.batched_faces else None)
 
     def one_btp_step(carry, _):
-        if static.batched_faces:
-            qb, qb2, accv, accn, aff, agf, agrad = carry
-        else:
-            qb, qb2, accv, accn, afx, afy, agx, agy, agrad = carry
-        qb0 = qb
-        qb1 = qb
-        for ik in range(kstages):
+        qb0 = carry[0]
+
+        def stage_body(st, sx):
+            """One SSPRK/LSRK stage. `sx` = (a_row, beta_ik, ik); ik is a
+            Python int when unrolled, a traced scalar under scan_stages."""
+            a_row, beta_ik, ik = sx
+            if static.batched_faces:
+                qb1, qb2, accv, accn, aff, agf, agrad = st
+            else:
+                qb1, qb2, accv, accn, afx, afy, agx, agy, agrad = st
             rhs, accv, accn = stage_volume(qb1, accv, accn)
             if static.batched_faces:
                 rhs, inc, graduv, gface_flat = _btp_faces_visc_flat(
@@ -575,23 +605,38 @@ def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
                 # SSP update (src/mod_rk_mlswe.F90:99-106), which is
                 # inconsistent and diverges — kept as 'lsrk_ref' only.
                 # Here qb2 carries the dq register (thickness/momentum rows).
-                qb2 = a[ik, 0] * qb2[1:4] + static.dt_btp * rhs
-                new234 = qb1[1:4] + beta[ik] * qb2
-                qb2 = jnp.concatenate([jnp.zeros_like(qb2[:1]), qb2])
+                dq = a_row[0] * qb2[1:4] + static.dt_btp * rhs
+                new234 = qb1[1:4] + beta_ik * dq
+                qb2 = jnp.concatenate([jnp.zeros_like(dq[:1]), dq])
             else:
-                dtt = static.dt_btp * beta[ik]
-                new234 = (a[ik, 0] * qb0[1:4] + a[ik, 1] * qb1[1:4]
-                          + a[ik, 2] * qb2[1:4] + dtt * rhs)
+                dtt = static.dt_btp * beta_ik
+                new234 = (a_row[0] * qb0[1:4] + a_row[1] * qb1[1:4]
+                          + a_row[2] * qb2[1:4] + dtt * rhs)
             pb = new234[0] + P.pbprime_df
             qu, qv = apply_wall_projection(new234[1], new234[2], bc)
             qb1 = jnp.stack([pb, new234[0], qu, qv])
-            if not lsrk and kstages == 5 and ik == 1:
-                qb2 = qb1
+            if not lsrk and kstages == 5:
+                # SSP(5,3) snapshots the stage-2 state into the third register
+                if isinstance(ik, int):
+                    qb2 = qb1 if ik == 1 else qb2
+                else:
+                    qb2 = jnp.where(ik == 1, qb1, qb2)
+            if static.batched_faces:
+                return (qb1, qb2, accv, accn, aff, agf, agrad), None
+            return (qb1, qb2, accv, accn, afx, afy, agx, agy, agrad), None
+
+        if static.scan_stages:
+            # one compiled stage body, scanned over the coefficient tables:
+            # ~kstages x smaller step HLO (compile-time, VERDICT r4 item 2)
+            carry, _ = jax.lax.scan(
+                stage_body, carry, (a, beta, jnp.arange(kstages)))
+        else:
+            for ik in range(kstages):
+                carry, _ = stage_body(carry, (a[ik], beta[ik], ik))
         if lsrk:
-            qb2 = jnp.zeros_like(qb2)  # dq register resets every btp step
-        if static.batched_faces:
-            return (qb1, qb2, accv, accn, aff, agf, agrad), None
-        return (qb1, qb2, accv, accn, afx, afy, agx, agy, agrad), None
+            # dq register resets every btp step
+            carry = carry[:1] + (jnp.zeros_like(carry[1]),) + carry[2:]
+        return carry, None
 
     qb2_0 = jnp.zeros_like(qb_df)
     if axes:

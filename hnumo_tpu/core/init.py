@@ -57,6 +57,10 @@ class StaticConfig:
     flat_bottom: bool = False     # grad(z_bot) == 0 everywhere (drops the
     #                               bathymetry-gradient source channels)
     debug_checks: bool = False    # enable jax.debug_nans-style NaN checking
+    scan_stages: bool = True      # lax.scan over RK stages (one compiled
+    #                               stage body) instead of Python-unrolling
+    #                               kstages copies into the btp scan body —
+    #                               ~kstages x smaller step HLO / compile time
     ti_method_btp: str = "rk35"   # barotropic integrator: rk35/ssprk |
     #                               lsrk (correct 2N low-storage) |
     #                               lsrk_ref (reference-verbatim, divergent)
@@ -591,6 +595,8 @@ def build_precomputed(cfg: Config, geom: Geometry, dtype, zbot_ext=None) -> tupl
         compat_reference_stress=cfg.compat_reference_stress,
         uniform_geom=uniform_geom, flat_bottom=flat_bottom,
         debug_checks=cfg.debug_checks,
+        scan_stages=(cfg.scan_stages == "on"
+                     or (cfg.scan_stages == "auto" and not use_pallas)),
         ti_method_btp=cfg.ti_method_btp,
     )
     if cfg.ti_method_btp == "lsrk_ref":

@@ -118,6 +118,15 @@ class Model:
             self._shardings = state_shardings(mesh)
 
             static = self.static
+            if cfg.batched_faces == "auto":
+                # under shard_map the launch-latency regime is set by the
+                # PER-DEVICE block, not the global grid — re-resolve "auto"
+                # on per-shard elements (init.py resolved it globally)
+                import dataclasses as _dc
+                per_shard = (cfg.nelx * cfg.nely) // (px * py)
+                static = _dc.replace(
+                    static, batched_faces_on=(per_shard <= 8192))
+                self.static = static
             # always name both axes (size-1 ppermute is identity); values are
             # device-varying over every mesh axis regardless of its size
             bcs = self.bc._replace(ax="x", ay="y")

@@ -200,9 +200,9 @@ def _ssp53_reference_qb(dtb):
 
 @pytest.mark.parametrize("kstages", [
     1,
-    pytest.param(2, marks=pytest.mark.slow),
-    3,
-    pytest.param(4, marks=pytest.mark.slow),
+    pytest.param(2, marks=pytest.mark.slow),  # CI covers 1/3/4 every run;
+    3,                                        # 2 rides the slow lane
+    4,
 ])
 def test_kstages_variants(kstages):
     """All SSPRK variants integrate the same ODE: the deviation from the
@@ -217,6 +217,20 @@ def test_kstages_variants(kstages):
     # higher-order members stay genuinely close to the reference scheme
     if kstages >= 3:
         assert errs[0] < 1e-2, errs
+
+
+def test_scan_stages_parity():
+    """lax.scan over RK stages vs Python-unrolled stages: identical update
+    formulas, so short trajectories must agree to fusion/reassociation
+    roundoff (divergence grows with horizon through the 200-substep
+    gravity-wave dynamics; 2 steps keeps it near the seed level)."""
+    _, s_off = _run_and_gate(_bump(scan_stages="off"), nsteps=2)
+    _, s_on = _run_and_gate(_bump(scan_stages="on"), nsteps=2)
+    for name in ("qb_df", "q_df", "qprime_df"):
+        a = np.asarray(getattr(s_off, name))
+        b = np.asarray(getattr(s_on, name))
+        scale = np.abs(a).max() + 1e-300
+        assert np.abs(a - b).max() / scale < 1e-11, name
 
 
 def test_lsrk_variant():

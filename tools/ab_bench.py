@@ -68,6 +68,8 @@ def main():
         "bf": dict(batched_faces_on=True),     # flat-axis batched faces
         "bf_xla": dict(batched_faces_on=True, use_pallas=False),
         "pd": dict(batched_faces_on=False),    # per-direction legacy faces
+        "ss_off": dict(scan_stages=False),     # Python-unrolled RK stages
+        "ss_on": dict(scan_stages=True),       # lax.scan over RK stages
     }
     nq = 2 * args.nop + 1
     gp = nel * nel * nq * nq * 2

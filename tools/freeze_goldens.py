@@ -55,6 +55,10 @@ def fingerprint(state, P):
 
 def bump_config(**kw):
     kw.setdefault("dtype", "float64")
+    # goldens pin the UNROLLED stage path bitwise (frozen before
+    # scan_stages existed); test_scan_stages_parity bridges the scanned
+    # default to it at reassociation-roundoff level
+    kw.setdefault("scan_stages", "off")
     return Config(nelx=10, nely=10, nopx=4, nopy=4,
                   xdims=(0.0, 2e3), ydims=(0.0, 2e3), nlayers=2,
                   x_boundary=(4, 4), y_boundary=(4, 4),
@@ -66,6 +70,7 @@ def dgyre_config(**kw):
     # reference Examples/double_gyre/numo3d.in: 25x25, p=4, 2 layers,
     # wind + linear bottom friction + nodal-family viscosity
     kw.setdefault("dtype", "float64")
+    kw.setdefault("scan_stages", "off")   # see bump_config
     return Config(nelx=25, nely=25, nopx=4, nopy=4,
                   xdims=(0.0, 2e6), ydims=(0.0, 2e6), nlayers=2,
                   x_boundary=(4, 4), y_boundary=(4, 4),
