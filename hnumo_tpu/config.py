@@ -107,6 +107,13 @@ class Config:
     # Pallas TPU path (where runtime is king). Same update formulas; f64
     # trajectories differ only by XLA fusion/reassociation roundoff.
     scan_stages: str = "auto"
+    # Whole-solve Pallas megakernel ("on" | "off"): the ENTIRE barotropic
+    # sub-cycling (N_btp x kstages stages) runs as ONE pallas_call per solve
+    # with VMEM-resident state/averages and in-kernel roll-based neighbor
+    # exchange (ops/pallas_mega.py). Envelope: f32 TPU, uniform brick,
+    # non-periodic walls, rk35, nodal/no viscosity, single device;
+    # outside it the default path runs regardless of this flag.
+    mega: str = "off"
     # Reproduce the reference's wind/bottom-stress vertical distribution
     # VERBATIM, including its indexing slip (src/mod_create_rhs_mlswe.F90:
     # 380-382: the pressure accumulator adds the LAST layer's (dp',u',v')

@@ -456,7 +456,8 @@ def build_vol_operators(static, g: DeviceGeom, P: Precomputed):
 
 
 def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
-                     coup: CouplingFields, qb_df, qprime_df, vol_ops=None):
+                     coup: CouplingFields, qb_df, qprime_df, vol_ops=None,
+                     mega_ops=None):
     """SSPRK barotropic sub-cycling over N_btp steps x kstages stages.
 
     Reference ti_barotropic_ssprk_mlswe (src/mod_rk_mlswe.F90:19-151).
@@ -466,6 +467,12 @@ def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
     updates the volume/nodal accumulators in place.
     Returns (qb_df at t+dt, normalized BtpAverages).
     """
+    if static.mega and mega_ops is not None:
+        from ..ops.pallas_mega import barotropic_solve_mega
+
+        return barotropic_solve_mega(static, P, g, bc, coup, qb_df,
+                                     qprime_df, mega_ops,
+                                     interpret=static.pallas_interpret)
     if static.fused_tail:
         return _barotropic_solve_fused(static, P, g, bc, coup, qb_df,
                                        qprime_df)

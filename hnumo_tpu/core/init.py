@@ -54,6 +54,10 @@ class StaticConfig:
     #                               kernel at 32-256 on v5e; performance.md)
     batched_faces_on: bool = False  # batch both face directions on one flat
     #                                 axis in the barotropic stage (config)
+    mega_on: bool = False         # whole-solve Pallas megakernel
+    #                               (ops.pallas_mega): the entire barotropic
+    #                               sub-cycling as ONE kernel per solve
+    periodic: bool = False        # any periodic boundary (mega gate)
     flat_bottom: bool = False     # grad(z_bot) == 0 everywhere (drops the
     #                               bathymetry-gradient source channels)
     debug_checks: bool = False    # enable jax.debug_nans-style NaN checking
@@ -77,6 +81,19 @@ class StaticConfig:
         keeps its per-direction pipeline) and is superseded by the fused
         tail's own face kernel."""
         return (self.batched_faces_on and not self.fused_tail
+                and (not self.use_visc or self.method_visc != 1))
+
+    @property
+    def mega(self) -> bool:
+        """Whole-solve megakernel (ops.pallas_mega.barotropic_solve_mega).
+
+        Envelope: Pallas (f32 TPU), uniform brick geometry, non-periodic
+        walls, SSP integrators (lsrk carries a dq register with a
+        different update), nodal LDG family or no viscosity, single
+        device (Model gates it off under a mesh — the in-kernel roll
+        exchange has no ppermute)."""
+        return (self.mega_on and self.use_pallas and self.uniform_geom
+                and not self.periodic and self.ti_method_btp == "rk35"
                 and (not self.use_visc or self.method_visc != 1))
 
     @property
@@ -592,6 +609,8 @@ def build_precomputed(cfg: Config, geom: Geometry, dtype, zbot_ext=None) -> tupl
         batched_faces_on=(cfg.batched_faces == "on"
                           or (cfg.batched_faces == "auto"
                               and cfg.nelx * cfg.nely <= 8192)),
+        mega_on=(cfg.mega == "on"),
+        periodic=(3 in cfg.x_boundary or 3 in cfg.y_boundary),
         compat_reference_stress=cfg.compat_reference_stress,
         uniform_geom=uniform_geom, flat_bottom=flat_bottom,
         debug_checks=cfg.debug_checks,

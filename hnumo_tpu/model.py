@@ -95,14 +95,21 @@ class Model:
 
             self._vol_ops = jax.jit(
                 functools.partial(build_vol_operators, static))(self.g, self.P)
+            self._mega_ops = None
+            if static.mega:
+                from .ops.pallas_mega import build_mega_static
+
+                self._mega_ops = build_mega_static(static, self.g, self.P,
+                                                   self.bc)
 
             @functools.partial(jax.jit, donate_argnums=(0,))
-            def _step_args(state: State, Pre, geo, vol_ops) -> State:
+            def _step_args(state: State, Pre, geo, vol_ops, mega_ops) -> State:
                 return ti_rk_bcl(static, Pre, geo, bcs, state,
-                                 vol_ops=vol_ops)
+                                 vol_ops=vol_ops, mega_ops=mega_ops)
 
             self._step = lambda state: _step_args(state, self.P, self.g,
-                                                  self._vol_ops)
+                                                  self._vol_ops,
+                                                  self._mega_ops)
         else:
             from jax import shard_map
 
@@ -118,6 +125,12 @@ class Model:
             self._shardings = state_shardings(mesh)
 
             static = self.static
+            if static.mega_on:
+                # the megakernel's in-kernel roll exchange has no ppermute;
+                # sharded runs keep the default path
+                import dataclasses as _dc
+                static = _dc.replace(static, mega_on=False)
+                self.static = static
             if cfg.batched_faces == "auto":
                 # under shard_map the launch-latency regime is set by the
                 # PER-DEVICE block, not the global grid — re-resolve "auto"

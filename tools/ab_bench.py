@@ -56,9 +56,14 @@ def main():
         # O(1) in the grid; operator tables hoisted — see Model.__init__.
         from hnumo_tpu.core.btp import build_vol_operators
         vol_ops = jax.jit(functools.partial(build_vol_operators, st))(m.g, m.P)
-        jf = jax.jit(lambda s, P, g, vo: ti_rk_bcl(st, P, g, bcs, s,
-                                                   vol_ops=vo))
-        return st, lambda s: jf(s, m.P, m.g, vol_ops)
+        mega_ops = None
+        if st.mega:
+            from hnumo_tpu.ops.pallas_mega import build_mega_static
+            mega_ops = build_mega_static(st, m.g, m.P, bcs)
+        jf = jax.jit(lambda s, P, g, vo, mo: ti_rk_bcl(st, P, g, bcs, s,
+                                                       vol_ops=vo,
+                                                       mega_ops=mo))
+        return st, lambda s: jf(s, m.P, m.g, vol_ops, mega_ops)
 
     variants = {
         "xla": dict(use_pallas=False),
@@ -70,6 +75,7 @@ def main():
         "pd": dict(batched_faces_on=False),    # per-direction legacy faces
         "ss_off": dict(scan_stages=False),     # Python-unrolled RK stages
         "ss_on": dict(scan_stages=True),       # lax.scan over RK stages
+        "mega": dict(mega_on=True),            # whole-solve megakernel
     }
     nq = 2 * args.nop + 1
     gp = nel * nel * nq * nq * 2
