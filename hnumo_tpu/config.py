@@ -107,13 +107,22 @@ class Config:
     # Pallas TPU path (where runtime is king). Same update formulas; f64
     # trajectories differ only by XLA fusion/reassociation roundoff.
     scan_stages: str = "auto"
-    # Whole-solve Pallas megakernel ("on" | "off"): the ENTIRE barotropic
-    # sub-cycling (N_btp x kstages stages) runs as ONE pallas_call per solve
-    # with VMEM-resident state/averages and in-kernel roll-based neighbor
-    # exchange (ops/pallas_mega.py). Envelope: f32 TPU, uniform brick,
-    # non-periodic walls, rk35, nodal/no viscosity, single device;
-    # outside it the default path runs regardless of this flag.
-    mega: str = "off"
+    # Whole-solve Pallas megakernel ("auto" | "on" | "off"): the ENTIRE
+    # barotropic sub-cycling (N_btp x kstages stages) runs as ONE
+    # pallas_call per solve with VMEM-resident state/averages and in-kernel
+    # roll-based neighbor exchange (ops/pallas_mega.py). Envelope: f32 TPU,
+    # uniform brick, non-periodic walls, rk35, nodal/no viscosity, single
+    # device; outside it the default path runs regardless of this flag.
+    # "auto" (default) = on within the envelope: 17.5 vs 20.3 ms/step at
+    # 32x32 p=4 on v5e (docs/performance.md), parity gated at 1e-11 by
+    # tests/test_mega.py.
+    mega: str = "auto"
+    # Matmul precision inside the megakernel: "highest" (bf16x6, f32-exact
+    # MXU passes — the default, matching the rest of the model) | "bf16"
+    # (single-pass: ~40% faster stages; measured 2.7e-8 relative qb
+    # deviation per 100-stage solve at 32x32 — documented for experiments,
+    # NOT used by default).
+    mega_precision: str = "highest"
     # Reproduce the reference's wind/bottom-stress vertical distribution
     # VERBATIM, including its indexing slip (src/mod_create_rhs_mlswe.F90:
     # 380-382: the pressure accumulator adds the LAST layer's (dp',u',v')

@@ -470,9 +470,12 @@ def barotropic_solve(static, P: Precomputed, g: DeviceGeom, bc: BCs,
     if static.mega and mega_ops is not None:
         from ..ops.pallas_mega import barotropic_solve_mega
 
+        prec = (jax.lax.Precision.DEFAULT if static.mega_bf16
+                else jax.lax.Precision.HIGHEST)
         return barotropic_solve_mega(static, P, g, bc, coup, qb_df,
                                      qprime_df, mega_ops,
-                                     interpret=static.pallas_interpret)
+                                     interpret=static.pallas_interpret,
+                                     prec=prec)
     if static.fused_tail:
         return _barotropic_solve_fused(static, P, g, bc, coup, qb_df,
                                        qprime_df)

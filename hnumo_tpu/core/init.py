@@ -57,6 +57,8 @@ class StaticConfig:
     mega_on: bool = False         # whole-solve Pallas megakernel
     #                               (ops.pallas_mega): the entire barotropic
     #                               sub-cycling as ONE kernel per solve
+    mega_bf16: bool = False       # single-pass bf16 MXU inside the mega
+    #                               kernel (Config.mega_precision="bf16")
     periodic: bool = False        # any periodic boundary (mega gate)
     flat_bottom: bool = False     # grad(z_bot) == 0 everywhere (drops the
     #                               bathymetry-gradient source channels)
@@ -609,7 +611,8 @@ def build_precomputed(cfg: Config, geom: Geometry, dtype, zbot_ext=None) -> tupl
         batched_faces_on=(cfg.batched_faces == "on"
                           or (cfg.batched_faces == "auto"
                               and cfg.nelx * cfg.nely <= 8192)),
-        mega_on=(cfg.mega == "on"),
+        mega_on=(cfg.mega in ("on", "auto")),
+        mega_bf16=(cfg.mega_precision == "bf16"),
         periodic=(3 in cfg.x_boundary or 3 in cfg.y_boundary),
         compat_reference_stress=cfg.compat_reference_stress,
         uniform_geom=uniform_geom, flat_bottom=flat_bottom,

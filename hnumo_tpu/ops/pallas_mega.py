@@ -300,7 +300,7 @@ def _mega_kernel(qb0_ref, qplq_ref, coup_ref, qe_ref, bgf_ref, pvisc_ref,
                  a_ref, b_ref,
                  qb_out, accv_out, accn_out, agr_out, aff_out, agt_out,
                  *, nsub, kstages, E, npts_b, nex, n_tr, dt_btp, grav,
-                 botfr, cd, alpha_bot, visc, use_visc):
+                 botfr, cd, alpha_bot, visc, use_visc, prec=HI):
     f32 = qb0_ref.dtype
 
     # NO upfront ref loads: every operand is read from its VMEM window at
@@ -310,7 +310,7 @@ def _mega_kernel(qb0_ref, qplq_ref, coup_ref, qe_ref, bgf_ref, pvisc_ref,
     # budget; use-site loads keep live ranges within one body section.
     def mm(a, b_ref):
         return jnp.dot(a, b_ref[:], preferred_element_type=f32,
-                       precision=HI)
+                       precision=prec)
 
     def ch(ref, c, n=1):
         """Channel-row slice of a (C*E, P) ref or array."""
@@ -528,7 +528,7 @@ def pvisc_t(pvisc, graduv, bdg, E):
 
 
 def barotropic_solve_mega(static, P, g, bc, coup, qb_df, qprime_df,
-                          mops: MegaStatic, interpret=False):
+                          mops: MegaStatic, interpret=False, prec=HI):
     """Whole-solve megakernel path of core.btp.barotropic_solve.
 
     Same contract: returns (qb at t+dt (4, ney, nex, ngl, ngl),
@@ -574,7 +574,7 @@ def barotropic_solve_mega(static, P, g, bc, coup, qb_df, qprime_df,
         npts_b=npts_b, nex=nex, n_tr=n_tr, dt_btp=static.dt_btp,
         grav=static.gravity, botfr=static.botfr, cd=static.cd_mlswe,
         alpha_bot=static.alpha_bot, visc=static.visc_mlswe,
-        use_visc=use_visc)
+        use_visc=use_visc, prec=prec)
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
