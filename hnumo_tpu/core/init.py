@@ -611,7 +611,9 @@ def build_precomputed(cfg: Config, geom: Geometry, dtype, zbot_ext=None) -> tupl
         batched_faces_on=(cfg.batched_faces == "on"
                           or (cfg.batched_faces == "auto"
                               and cfg.nelx * cfg.nely <= 8192)),
-        mega_on=(cfg.mega in ("on", "auto")),
+        # mega's side lane blocks hold ngl<=NGL_B=8 / nq<=NQ_B=16 values
+        # (ops/pallas_mega.py), i.e. nop <= 7
+        mega_on=(cfg.mega in ("on", "auto") and cfg.nopx <= 7),
         mega_bf16=(cfg.mega_precision == "bf16"),
         periodic=(3 in cfg.x_boundary or 3 in cfg.y_boundary),
         compat_reference_stress=cfg.compat_reference_stress,

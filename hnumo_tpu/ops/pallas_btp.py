@@ -198,10 +198,15 @@ def _kernel(qb_ref, qpl_ref, met_ref, ptab_ref, coup_ref,
 
 
 def _pick_tile(E: int, cap: int = 128) -> int:
-    """Largest divisor of E that is <= cap."""
+    """Largest SUBLANE-ALIGNED divisor of E that is <= cap.
+
+    Mosaic requires the second-to-last block dim to be a multiple of 8 or
+    the whole array dim; an unaligned tile (e.g. 125 for the reference's
+    own 25x25 = 625-element grid) fails to lower. Callers that can pad go
+    through pad_elements when this degenerates."""
     best = 1
     for t in range(1, min(E, cap) + 1):
-        if E % t == 0:
+        if E % t == 0 and (t % 8 == 0 or t == E):
             best = t
     return best
 
