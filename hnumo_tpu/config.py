@@ -90,12 +90,13 @@ class Config:
     # x/y face counts differ). Same formulas on the same values; results
     # agree with the per-direction path up to XLA fusion/FMA reassociation
     # (~1e-14 absolute at f64 on the bump case; bitwise on others).
-    # "auto" (default): on up to 8192 elements, off above — A/B on v5e
-    # (docs/performance.md): 21.3 vs 25.3 ms/step at 32x32 and 61.3 vs
-    # 78.3 at 64x64 (launch-latency-bound regime), but 1383 vs 1237 at
-    # 256x256 where the per-solve concat copies outgrow the launch
-    # savings. The quad-family viscosity (method_visc=1) keeps the
-    # per-direction path (StaticConfig gates it off there).
+    # "auto" (default): on up to 8192 elements, off above — clean-host A/B
+    # on v5e (docs/performance.md, r5): wins 75.0 vs 80.5 ms/step at 64x64,
+    # loses 279.9 vs 269.6 at 128x128 and 1374 vs 1247 at 256x256 (the
+    # per-solve concat copies outgrow the launch savings), so the 8192
+    # cutoff sits inside the measured 4096->16384 crossover. The
+    # quad-family viscosity (method_visc=1) keeps the per-direction path
+    # (StaticConfig gates it off there).
     batched_faces: str = "auto"
     # Run the kstages RK stages of the barotropic sub-cycle as a lax.scan
     # over the coefficient tables instead of Python-unrolling them into the
@@ -113,15 +114,19 @@ class Config:
     # roll-based neighbor exchange (ops/pallas_mega.py). Envelope: f32 TPU,
     # uniform brick, non-periodic walls, rk35, nodal/no viscosity, single
     # device; outside it the default path runs regardless of this flag.
-    # "auto" (default) = on within the envelope: 17.5 vs 20.3 ms/step at
-    # 32x32 p=4 on v5e (docs/performance.md), parity gated at 1e-11 by
+    # "auto" (default) = on within the envelope (incl. <=1024 elements:
+    # whole-grid VMEM residency). Clean-host runtime matches the default
+    # path (17.1 vs 17.0 ms/step at 32x32 on v5e) but cold compile drops
+    # 45.6 -> 7.9 s and the step is immune to host-dispatch jitter (17.5
+    # vs 20.3 under load) — docs/performance.md. Parity gated at 1e-11 by
     # tests/test_mega.py.
     mega: str = "auto"
     # Matmul precision inside the megakernel: "highest" (bf16x6, f32-exact
     # MXU passes — the default, matching the rest of the model) | "bf16"
-    # (single-pass: ~40% faster stages; measured 2.7e-8 relative qb
-    # deviation per 100-stage solve at 32x32 — documented for experiments,
-    # NOT used by default).
+    # (single-pass: 9.5 vs 17.1 ms/step at 32x32, but the 100-day
+    # double-gyre campaign shows the free surface diverging to +-4400 m
+    # while KE still tracks to 1% — docs/performance.md "Precision",
+    # docs/artifacts/dgyre_f32_tpu_bf16.json. KE-only experiments ONLY.)
     mega_precision: str = "highest"
     # Reproduce the reference's wind/bottom-stress vertical distribution
     # VERBATIM, including its indexing slip (src/mod_create_rhs_mlswe.F90:

@@ -612,8 +612,12 @@ def build_precomputed(cfg: Config, geom: Geometry, dtype, zbot_ext=None) -> tupl
                           or (cfg.batched_faces == "auto"
                               and cfg.nelx * cfg.nely <= 8192)),
         # mega's side lane blocks hold ngl<=NGL_B=8 / nq<=NQ_B=16 values
-        # (ops/pallas_mega.py), i.e. nop <= 7
-        mega_on=(cfg.mega in ("on", "auto") and cfg.nopx <= 7),
+        # (ops/pallas_mega.py), i.e. nop <= 7; the whole-grid VMEM residency
+        # fits ~1024 elements on v5e (128 MB VMEM; 64x64 measured 372 MB),
+        # so "auto" gates by element count while "on" trusts the user
+        mega_on=(cfg.mega in ("on", "auto") and cfg.nopx <= 7
+                 and (cfg.mega == "on"
+                      or cfg.nelx * cfg.nely <= 1024)),
         mega_bf16=(cfg.mega_precision == "bf16"),
         periodic=(3 in cfg.x_boundary or 3 in cfg.y_boundary),
         compat_reference_stress=cfg.compat_reference_stress,

@@ -76,6 +76,7 @@ def main():
         "ss_off": dict(scan_stages=False),     # Python-unrolled RK stages
         "ss_on": dict(scan_stages=True),       # lax.scan over RK stages
         "mega": dict(mega_on=True),            # whole-solve megakernel
+        "mega_bf16": dict(mega_on=True, mega_bf16=True),
     }
     nq = 2 * args.nop + 1
     gp = nel * nel * nq * nq * 2

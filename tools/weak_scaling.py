@@ -46,7 +46,14 @@ def main():
     from hnumo_tpu.parallel.sharding import make_mesh
 
     results = []
-    for nd in (1, 2, 4, 8):
+    # "1s" = serial (no shard_map); "1" = 1-device mesh (the pure
+    # decomposition-program overhead, free of core-oversubscription noise —
+    # the fake backend shares the host's few cores across all N virtual
+    # devices, so the N>1 rows bound program overhead only after dividing
+    # out ideal oversubscription t1*N/ncores)
+    for nd in ("1s", 1, 2, 4, 8):
+        serial = nd == "1s"
+        nd = 1 if serial else nd
         devices = jax.devices()[:nd]
         mesh = make_mesh(devices)
         py, px = mesh.shape["y"], mesh.shape["x"]
@@ -60,7 +67,7 @@ def main():
                      botfr=1, cd_mlswe=1e-7, method_visc=3,
                      visc_mlswe=50.0,
                      dtype="float32" if args.f32 else "float64")
-        m = Model(cfg, mesh=mesh if nd > 1 else None)
+        m = Model(cfg, mesh=None if serial else mesh)
         s = m.step(m.state0)
         jax.block_until_ready(s)
         t0 = time.perf_counter()
@@ -69,7 +76,9 @@ def main():
         jax.block_until_ready(s)
         ms = (time.perf_counter() - t0) / args.steps * 1e3
         assert bool(s.ok)
-        row = dict(devices=nd, mesh=f"{py}x{px}", grid=f"{nely}x{nelx}",
+        row = dict(devices=("1-serial" if serial else nd),
+                   mesh=("none" if serial else f"{py}x{px}"),
+                   grid=f"{nely}x{nelx}",
                    els_per_shard=args.els * args.els,
                    ms_per_step=round(ms, 1))
         if results:
