@@ -68,10 +68,15 @@ class MegaStatic(NamedTuple):
     DeT: jnp.ndarray      # (nqq_b, npts_b)
     KT: jnp.ndarray       # (nqq_b, npts_b) w-folded source scatter
     Eall: jnp.ndarray     # (npts_b, 4*NGL_B) all-side edge extraction
-    Pq: jnp.ndarray       # (4*NGL_B, 4*NQ_B) block-diag face n2q
-    Ps: jnp.ndarray       # (4*NQ_B, 4*NGL_B) block-diag face quad scatter
+    EQ: jnp.ndarray       # (npts_b, 4*NQ_B) = Eall @ Pq: extraction + face
+    #                       n2q folded into ONE matmul (qb face path)
+    SPE: jnp.ndarray      # (4*NQ_B, npts_b) = Ps @ PedgeA: face quad
+    #                       scatter + edge placement folded (signs commute:
+    #                       they are side-block constants and Ps/PedgeA are
+    #                       side-block-diagonal)
     PedgeA: jnp.ndarray   # (4*NGL_B, npts_b) all-side edge placement
     #                       (east/north -1 folded; west/south via sgn_ws)
+    #                       — still used by the nodal viscosity edge path
     Gx: jnp.ndarray       # (npts_b, npts_b) nodal d/dx (row layout u @ Gx)
     Gy: jnp.ndarray
     LxT: jnp.ndarray      # (npts_b, npts_b) nodal weak-scatter x operator
@@ -87,9 +92,12 @@ class MegaStatic(NamedTuple):
     ftab: jnp.ndarray     # (13E, 4*NQ_B): nx, ny, jac, cpL, cpR, cpub, cmL,
     #                       cmR, cmLR, opbe, Hedge, pbl, pbr
     ntab: jnp.ndarray     # (3E, 4*NGL_B): nx_df, ny_df, jac_df
-    m_bnd: jnp.ndarray    # (n_tr*E, 4*NGL_B) boundary-side flag
-    mir: jnp.ndarray      # (n_tr*E, 4*NGL_B) mirror signs on boundary sides
-    sgn_ws: jnp.ndarray   # (E, 4*NGL_B) west/south edge-add sign
+    mbnd_q: jnp.ndarray   # (4E, 4*NQ_B) boundary-side flag, quad lanes
+    mir_q: jnp.ndarray    # (4E, 4*NQ_B) qb mirror signs, quad lanes
+    mbnd_g: jnp.ndarray   # (4E, 4*NGL_B) graduv boundary flag (visc)
+    mir_g: jnp.ndarray    # (4E, 4*NGL_B) graduv mirror signs (visc)
+    sgn_ws: jnp.ndarray   # (E, 4*NGL_B) west/south edge-add sign (visc)
+    sgn_q: jnp.ndarray    # (E, 4*NQ_B) same signs on quad lanes
     a_tab: jnp.ndarray    # (kstages, 3) SMEM
     b_tab: jnp.ndarray    # (kstages, 1) SMEM
     # NOTE: no python ints here — MegaStatic is a jit-argument pytree, so
@@ -240,40 +248,55 @@ def build_mega_static(static, g, P, bc) -> MegaStatic:
 
     # ---- boundary masks / mirror signs / edge-add signs ----
     use_visc = static.use_visc and static.method_visc != 1
-    n_tr = 8 if use_visc else 4
     col = np.zeros((ney, nex, 4))      # (i, j, side[E,W,N,S])
     col[:, -1, 0] = 1.0
     col[:, 0, 1] = 1.0
     col[-1, :, 2] = 1.0
     col[0, :, 3] = 1.0
     col = col.reshape(E, 4)
-    m_bnd1 = np.zeros((E, 4 * NGL_B))
-    for s in range(4):
-        m_bnd1[:, s * NGL_B:s * NGL_B + ngl] = col[:, s:s + 1]
-    m_bnd = np.tile(m_bnd1, (n_tr, 1))
+
+    def _bnd(blk, m, nch):
+        out = np.zeros((E, 4 * blk))
+        for s in range(4):
+            out[:, s * blk:s * blk + m] = col[:, s:s + 1]
+        return np.tile(out, (nch, 1))
+
+    def _mir(blk, m, sigs):
+        out = np.ones((4 * E, 4 * blk))
+        for c in range(4):
+            for s in range(4):
+                lane = slice(s * blk, s * blk + m)
+                out[c * E:(c + 1) * E, lane] = np.where(
+                    col[:, s:s + 1] > 0, sigs[s][c],
+                    out[c * E:(c + 1) * E, lane])
+        return out
+
     qb_sigs = [_mirror_signs(4, code, d, ((2, 3),))
                for code, d in ((bc.east, "x"), (bc.west, "x"),
                                (bc.north, "y"), (bc.south, "y"))]
     gv_sigs = [_mirror_signs(4, code, d, ((0, 1), (2, 3)))
                for code, d in ((bc.east, "x"), (bc.west, "x"),
                                (bc.north, "y"), (bc.south, "y"))]
-    mir = np.ones((n_tr * E, 4 * NGL_B))
-    groups = [qb_sigs] + ([gv_sigs] if use_visc else [])
-    for grp, sigs in enumerate(groups):
-        for c in range(4):
-            r0 = (grp * 4 + c) * E
-            for s in range(4):
-                lane = slice(s * NGL_B, s * NGL_B + ngl)
-                mir[r0:r0 + E, lane] = np.where(
-                    col[:, s:s + 1] > 0, sigs[s][c], mir[r0:r0 + E, lane])
+    mbnd_q = _bnd(NQ_B, nq, 4)
+    mir_q = _mir(NQ_B, nq, qb_sigs)
+    if use_visc:
+        mbnd_g = _bnd(NGL_B, ngl, 4)
+        mir_g = _mir(NGL_B, ngl, gv_sigs)
+    else:
+        mbnd_g = np.zeros((1, 4 * NGL_B))
+        mir_g = np.ones((1, 4 * NGL_B))
     sgn_ws = np.ones((E, 4 * NGL_B))
     sgn_ws[:, 1 * NGL_B:2 * NGL_B] = np.where(col[:, 1:2] > 0, -1.0, 1.0)
     sgn_ws[:, 3 * NGL_B:4 * NGL_B] = np.where(col[:, 3:4] > 0, -1.0, 1.0)
+    sgn_q = np.ones((E, 4 * NQ_B))
+    sgn_q[:, 1 * NQ_B:2 * NQ_B] = np.where(col[:, 1:2] > 0, -1.0, 1.0)
+    sgn_q[:, 3 * NQ_B:4 * NQ_B] = np.where(col[:, 3:4] > 0, -1.0, 1.0)
 
     cast = lambda a: jnp.asarray(a, dtype)
     return MegaStatic(
         K=cast(Kp), DkT=cast(DkT), DeT=cast(DeT), KT=cast(KT),
-        Eall=cast(Eall), Pq=cast(Pq), Ps=cast(Ps), PedgeA=cast(PedgeA),
+        Eall=cast(Eall), EQ=cast(Eall @ Pq), SPE=cast(Ps @ PedgeA),
+        PedgeA=cast(PedgeA),
         Gx=cast(padNN(Gx)), Gy=cast(padNN(Gy)),
         LxT=cast(padNN(LxT)), LyT=cast(padNN(LyT)),
         ptab=cast(ptab), btp_ref3=cast(btp_ref3),
@@ -281,8 +304,9 @@ def build_mega_static(static, g, P, bc) -> MegaStatic:
         pbprime_df=cast(_erows(P.pbprime_df[None], npts_b)),
         opbp_df=cast(_erows(P.one_over_pbprime_df[None], npts_b)),
         masku=cast(masku), maskv=cast(maskv), ftab=cast(ftab),
-        ntab=cast(ntab), m_bnd=cast(m_bnd), mir=cast(mir),
-        sgn_ws=cast(sgn_ws),
+        ntab=cast(ntab), mbnd_q=cast(mbnd_q), mir_q=cast(mir_q),
+        mbnd_g=cast(mbnd_g), mir_g=cast(mir_g),
+        sgn_ws=cast(sgn_ws), sgn_q=cast(sgn_q),
         a_tab=jnp.asarray(np.asarray(P.ssprk_a), dtype),
         b_tab=jnp.asarray(np.asarray(P.ssprk_beta).reshape(-1, 1), dtype))
 
@@ -294,10 +318,10 @@ def build_mega_static(static, g, P, bc) -> MegaStatic:
 
 def _mega_kernel(qb0_ref, qplq_ref, coup_ref, qe_ref, bgf_ref, pvisc_ref,
                  bdg_ref, ptab_ref, ref3_ref, mi3_ref, pbp_ref, opbp_ref,
-                 mu_ref, mv_ref, ftab_ref, ntab_ref, mbnd_ref, mir_ref,
-                 sgnws_ref, K_ref, DkT_ref, DeT_ref, KT_ref, Eall_ref,
-                 Pq_ref, Ps_ref, Pe_ref, Gx_ref, Gy_ref, LxT_ref, LyT_ref,
-                 a_ref, b_ref,
+                 mu_ref, mv_ref, ftab_ref, ntab_ref, mbndq_ref, mirq_ref,
+                 mbndg_ref, mirg_ref, sgnws_ref, sgnq_ref, K_ref, DkT_ref,
+                 DeT_ref, KT_ref, Eall_ref, EQ_ref, SPE_ref, Pe_ref,
+                 Gx_ref, Gy_ref, LxT_ref, LyT_ref, a_ref, b_ref,
                  qb_out, accv_out, accn_out, agr_out, aff_out, agt_out,
                  *, nsub, kstages, E, npts_b, nex, n_tr, dt_btp, grav,
                  botfr, cd, alpha_bot, visc, use_visc, prec=HI):
@@ -383,35 +407,27 @@ def _mega_kernel(qb0_ref, qplq_ref, coup_ref, qe_ref, bgf_ref, pvisc_ref,
         rhs = (mm(Fx, DkT_ref) + mm(Fy, DeT_ref)
                + mm(Fs, KT_ref))                         # (3E, npts_b)
 
-        # ---- traces + neighbor exchange (rolls; boundary rows masked) ----
-        if use_visc:
-            uv = jnp.concatenate([u_df, v_df], axis=0)   # (2E, npts_b)
-            gx_uv = mm(uv, Gx_ref)                       # rows [gux; gvx]
-            gy_uv = mm(uv, Gy_ref)                       # rows [guy; gvy]
-            graduv = jnp.concatenate(
-                [gx_uv[:E], gy_uv[:E], gx_uv[E:], gy_uv[E:]], axis=0)
-            agr_out[:] += graduv
-            trsrc = jnp.concatenate([qb1, graduv], axis=0)
-        else:
-            trsrc = qb1
-        tr = mm(trsrc, Eall_ref)               # (n_tr*E, 4B) [E|W|N|S]
-        nrows = n_tr * E                       # pltpu.roll wants shift >= 0
-        nbr = jnp.concatenate([
-            pltpu.roll(tr[:, B:2 * B], nrows - 1, 0),        # east-side R
-            pltpu.roll(tr[:, 0:B], 1, 0),                    # west-side L
-            pltpu.roll(tr[:, 3 * B:4 * B], nrows - nex, 0),  # north-side R
-            pltpu.roll(tr[:, 2 * B:3 * B], nex, 0),          # south-side L
-        ], axis=-1)
-        mbnd = mbnd_ref[:]
-        trL = jnp.where(mbnd > 0.0, tr, jnp.concatenate([
-            tr[:, 0:B], nbr[:, B:2 * B],
-            tr[:, 2 * B:3 * B], nbr[:, 3 * B:4 * B]], axis=-1))
-        trR = jnp.where(mbnd > 0.0, mir_ref[:] * tr, jnp.concatenate([
-            nbr[:, 0:B], tr[:, B:2 * B],
-            nbr[:, 2 * B:3 * B], tr[:, 3 * B:4 * B]], axis=-1))
+        # ---- traces + neighbor exchange (rolls; boundary rows masked).
+        # The qb path extracts + face-interpolates in ONE matmul (EQ =
+        # Eall@Pq): rolls, mirrors and the boundary L/R role flip commute
+        # with the per-element face n2q, so they act on quad traces. ----
+        def lr(tr, blk, mbnd, mir, nrows):
+            nbr = jnp.concatenate([
+                pltpu.roll(tr[:, blk:2 * blk], nrows - 1, 0),    # east R
+                pltpu.roll(tr[:, 0:blk], 1, 0),                  # west L
+                pltpu.roll(tr[:, 3 * blk:4 * blk], nrows - nex, 0),
+                pltpu.roll(tr[:, 2 * blk:3 * blk], nex, 0),      # south L
+            ], axis=-1)
+            trL = jnp.where(mbnd > 0.0, tr, jnp.concatenate([
+                tr[:, 0:blk], nbr[:, blk:2 * blk],
+                tr[:, 2 * blk:3 * blk], nbr[:, 3 * blk:4 * blk]], axis=-1))
+            trR = jnp.where(mbnd > 0.0, mir * tr, jnp.concatenate([
+                nbr[:, 0:blk], tr[:, blk:2 * blk],
+                nbr[:, 2 * blk:3 * blk], tr[:, 3 * blk:4 * blk]], axis=-1))
+            return trL, trR
 
-        qbL = mm(trL[:4 * E], Pq_ref)          # (4E, 4*NQ_B)
-        qbR = mm(trR[:4 * E], Pq_ref)
+        trq = mm(qb1, EQ_ref)                  # (4E, 4*NQ_B) quad traces
+        qbL, qbR = lr(trq, NQ_B, mbndq_ref[:], mirq_ref[:], 4 * E)
 
         # ---- face flux (port of btp._face_flux_core; reference
         #      creat_btp_fluxes_qdf, src/mod_rhs_btp.F90:211-364) ----
@@ -456,19 +472,26 @@ def _mega_kernel(qb0_ref, qplq_ref, coup_ref, qe_ref, bgf_ref, pvisc_ref,
                                  mue2, ul_f, ur_f, vl_f, vr_f)):
             aff_out[c * E:(c + 1) * E] += inc
 
+        # quad scatter + edge placement folded (SPE = Ps@PedgeA); the
+        # per-element west/south sign commutes to the quad lanes (side-
+        # block-constant against side-block-diagonal operators)
+        sgq = sgnq_ref[:]
         Sq = jnp.concatenate(
-            [jacf * fl_m, jacf * (nx * dH_f + fl_x),
-             jacf * (ny * dH_f + fl_y)], axis=0)
-        Sed = mm(Sq, Ps_ref)                   # (3E, 4B) nodal edge values
-        sgnws = sgnws_ref[:]
-        edges = jnp.concatenate([sgnws, sgnws, sgnws], axis=0) * Sed
-        rhs = rhs + mm(edges, Pe_ref)
+            [sgq * (jacf * fl_m), sgq * (jacf * (nx * dH_f + fl_x)),
+             sgq * (jacf * (ny * dH_f + fl_y))], axis=0)
+        rhs = rhs + mm(Sq, SPE_ref)
 
         # ---- nodal-family LDG viscosity (port of btp._nodal_laplacian_flat;
         #      reference src/mod_laplacian_quad.F90:357-519) ----
         if use_visc:
-            gL = trL[4 * E:]
-            gR = trR[4 * E:]
+            uv = jnp.concatenate([u_df, v_df], axis=0)   # (2E, npts_b)
+            gx_uv = mm(uv, Gx_ref)                       # rows [gux; gvx]
+            gy_uv = mm(uv, Gy_ref)                       # rows [guy; gvy]
+            graduv = jnp.concatenate(
+                [gx_uv[:E], gy_uv[:E], gx_uv[E:], gy_uv[E:]], axis=0)
+            agr_out[:] += graduv
+            gtr = mm(graduv, Eall_ref)           # (4E, 4B) nodal traces
+            gL, gR = lr(gtr, B, mbndg_ref[:], mirg_ref[:], 4 * E)
             agt_out[:4 * E] += gL
             agt_out[4 * E:] += gR
             bmulL = ch(bgf_ref, 4)
@@ -484,6 +507,7 @@ def _mega_kernel(qb0_ref, qplq_ref, coup_ref, qe_ref, bgf_ref, pvisc_ref,
                        + ch(qmean, 1) - ch(fl_v, 1) * nydf)
             flux_qv = (ch(qmean, 2) - ch(fl_v, 2) * nxdf
                        + ch(qmean, 3) - ch(fl_v, 3) * nydf)
+            sgnws = sgnws_ref[:]
             Sv = jnp.concatenate([jacdf * flux_qu, jacdf * flux_qv], axis=0)
             vedges = jnp.concatenate([sgnws, sgnws], axis=0) * (-Sv)
             lap_face = mm(vedges, Pe_ref)      # (2E, npts_b)
@@ -541,8 +565,8 @@ def barotropic_solve_mega(static, P, g, bc, coup, qb_df, qprime_df,
     ngl, nq = g.psiq.shape
     E = ney * nex
     npts_b, nqq_b = mops.K.shape
-    n_tr = mops.mir.shape[0] // E
-    use_visc = n_tr == 8
+    use_visc = mops.mbnd_g.shape[0] > 1
+    n_tr = 8 if use_visc else 4
     nsub = static.n_btp * static.kstages
 
     # per-solve inputs
@@ -592,16 +616,17 @@ def barotropic_solve_mega(static, P, g, bc, coup, qb_df, qprime_df,
             vmem_limit_bytes=120 * 1024 * 1024)
     qb_o, accv_o, accn_o, agr_o, aff_o, agt_o = pl.pallas_call(
         kern,
-        in_specs=[vspec] * 31 + [sspec] * 2,
+        in_specs=[vspec] * 34 + [sspec] * 2,
         out_specs=[vspec] * 6,
         out_shape=out_shape,
         interpret=interpret,
         **kwargs,
     )(qb0, qplq, coup_v, qe, bgf, pvisc, bdg, mops.ptab, mops.btp_ref3,
       mops.massinv3, mops.pbprime_df, mops.opbp_df, mops.masku, mops.maskv,
-      mops.ftab, mops.ntab, mops.m_bnd, mops.mir, mops.sgn_ws, mops.K,
-      mops.DkT, mops.DeT, mops.KT, mops.Eall, mops.Pq, mops.Ps, mops.PedgeA,
-      mops.Gx, mops.Gy, mops.LxT, mops.LyT, mops.a_tab, mops.b_tab)
+      mops.ftab, mops.ntab, mops.mbnd_q, mops.mir_q, mops.mbnd_g,
+      mops.mir_g, mops.sgn_ws, mops.sgn_q, mops.K, mops.DkT, mops.DeT,
+      mops.KT, mops.Eall, mops.EQ, mops.SPE, mops.PedgeA, mops.Gx, mops.Gy,
+      mops.LxT, mops.LyT, mops.a_tab, mops.b_tab)
 
     npts, nqq = ngl * ngl, nq * nq
     n_inv = jnp.asarray(1.0 / nsub, dtype)
