@@ -12,11 +12,12 @@ from hnumo_tpu.config import Config
 from hnumo_tpu.model import Model
 
 
-def _setup(visc, botfr=1, nel=(6, 5), dtype="float64", **over):
+def _setup(visc, botfr=1, nel=(6, 5), dtype="float64", nop=4, **over):
     kw = dict(method_visc=2, visc_mlswe=100.0) if visc else dict(
         method_visc=0, visc_mlswe=0.0)
     kw.update(over)
-    cfg = Config(nelx=nel[0], nely=nel[1], nopx=4, nopy=4, xdims=(0.0, 2e6),
+    cfg = Config(nelx=nel[0], nely=nel[1], nopx=nop, nopy=nop,
+                 xdims=(0.0, 2e6),
                  ydims=(0.0, 2e6), nlayers=2, dt=400.0, dt_btp=20.0,
                  time_final=1e9, test_case="double_gyre", f0=9.3e-5,
                  beta=2e-11, botfr=botfr, cd_mlswe=1e-7, dtype=dtype,
@@ -53,20 +54,21 @@ def _flatten_avg(avg):
     return out
 
 
-@pytest.mark.parametrize("visc,botfr,kstages", [
-    (False, 1, 5),
-    (True, 1, 5),
-    (True, 2, 5),     # quadratic bottom drag branch
-    (False, 0, 3),    # no drag + SSP(3,3) tables (no qb2 snapshot)
+@pytest.mark.parametrize("visc,botfr,kstages,nop", [
+    (False, 1, 5, 4),
+    (True, 1, 5, 4),
+    (True, 2, 5, 4),     # quadratic bottom drag branch
+    (False, 0, 3, 4),    # no drag + SSP(3,3) tables (no qb2 snapshot)
+    (True, 1, 5, 6),     # higher order inside the nop<=7 lane-block gate
 ])
-def test_mega_solve_parity(visc, botfr, kstages):
+def test_mega_solve_parity(visc, botfr, kstages, nop):
     import dataclasses
 
     from hnumo_tpu.core.btp import barotropic_solve
     from hnumo_tpu.ops.pallas_mega import (barotropic_solve_mega,
                                            build_mega_static)
 
-    m = _setup(visc, botfr=botfr, kstages=kstages)
+    m = _setup(visc, botfr=botfr, kstages=kstages, nop=nop)
     assert m.static.mega, "mega gate should be on for this config"
     qb, qp, coup = _perturbed_inputs(m)
 
